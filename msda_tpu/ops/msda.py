@@ -1,0 +1,192 @@
+"""Public multiscale deformable attention op: dispatch + custom VJP.
+
+This is the TPU-native analogue of the reference dispatch/autograd layer
+(/root/reference/src/msda_triton/frontend.py:71-172):
+
+* ``multiscale_deformable_attention`` — the public differentiable function.
+  Mirrors the reference signature (frontend.py:145-166) with the same
+  argument semantics, plus an explicit ``impl`` selector instead of the
+  reference's silent try/except fallback (frontend.py:167-172).
+* a ``jax.custom_vjp`` binding whose backward *rematerializes* the forward
+  instead of saving bilinear samples, so peak memory matches the fallback —
+  the same design property as the reference backward kernel
+  (kernels.py:421 "recompute forward", README.md:20 equal-memory claim).
+
+Implementations:
+    "fused":     TPU-optimized formulation (per-level 2x2 patch gathers that
+                 XLA lowers to its native gather machinery; see fused.py).
+    "reference": the pure-jnp row-gather interpreter (reference.py), the
+                 semantics spec; runs on any backend, supports f64 on CPU.
+    "auto":      "fused" on TPU, "reference" elsewhere.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .reference import native_multiscale_deformable_attention
+from . import fused as _fused
+
+__all__ = ["multiscale_deformable_attention"]
+
+_VALID_PADDING = ("border", "zeros")
+_VALID_IMPL = ("auto", "fused", "reference")
+
+# Dtypes accepted for the differentiable op; mirrors the reference whitelist
+# {fp16, fp32, fp64} (frontend.py:84-90) with bf16 added as the TPU-native
+# half precision. f64 is only usable off-TPU.
+_VALID_DTYPES = (jnp.bfloat16, jnp.float16, jnp.float32, jnp.float64)
+
+
+def _check_inputs(img, img_shapes, sampling_points, attention_weights):
+    for name, t in (
+        ("img", img),
+        ("sampling_points", sampling_points),
+        ("attention_weights", attention_weights),
+    ):
+        if t.dtype not in _VALID_DTYPES:
+            raise ValueError(
+                f"Dtype of `{name}` should be one of "
+                f"{[jnp.dtype(d).name for d in _VALID_DTYPES]}, got {t.dtype}."
+            )
+    if img.ndim != 4:
+        raise ValueError(f"`img` must be [B, I, H, C], got shape {img.shape}")
+    if sampling_points.ndim != 6 or sampling_points.shape[-1] != 2:
+        raise ValueError(
+            "`sampling_points` must be [B, N, H, L, P, 2], got shape "
+            f"{sampling_points.shape}"
+        )
+    if attention_weights.shape != sampling_points.shape[:-1]:
+        raise ValueError(
+            "`attention_weights` must be [B, N, H, L, P] = "
+            f"{sampling_points.shape[:-1]}, got {attention_weights.shape}"
+        )
+    B, I, H, C = img.shape  # noqa: E741
+    Bp, N, Hp, L, P, _ = sampling_points.shape
+    if (B, H) != (Bp, Hp):
+        raise ValueError(
+            f"Batch/head mismatch between img {img.shape} and "
+            f"sampling_points {sampling_points.shape}"
+        )
+    if img_shapes.shape != (L, 2):
+        raise ValueError(
+            f"`img_shapes` must be [L, 2] = [{L}, 2], got {img_shapes.shape}"
+        )
+
+
+def _resolve_impl(impl: str) -> str:
+    if impl not in _VALID_IMPL:
+        raise ValueError(f"impl must be one of {_VALID_IMPL}, got {impl!r}")
+    if impl == "auto":
+        return "fused" if jax.default_backend() == "tpu" else "reference"
+    return impl
+
+
+def _run_forward(img, img_shapes, pts, wts, padding_mode, align_corners, impl):
+    if impl == "fused":
+        return _fused.fused_multiscale_deformable_attention(
+            img, img_shapes, pts, wts, padding_mode, align_corners
+        )
+    return native_multiscale_deformable_attention(
+        img, img_shapes, pts, wts, padding_mode, align_corners
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _msda(img, img_shapes, pts, wts, padding_mode, align_corners, impl):
+    return _run_forward(img, img_shapes, pts, wts, padding_mode, align_corners, impl)
+
+
+def _msda_fwd(img, img_shapes, pts, wts, padding_mode, align_corners, impl):
+    out = _run_forward(img, img_shapes, pts, wts, padding_mode, align_corners, impl)
+    # Save only the primal inputs — the backward rematerializes the bilinear
+    # sampling, matching the reference's memory-parity design
+    # (frontend.py:121, kernels.py:421).
+    return out, (img, img_shapes, pts, wts)
+
+
+def _msda_bwd(padding_mode, align_corners, impl, residuals, out_grad):
+    img, img_shapes, pts, wts = residuals
+    if impl == "fused":
+        img_grad, pts_grad, wts_grad = _fused.fused_msda_vjp(
+            img, img_shapes, pts, wts, out_grad, padding_mode, align_corners
+        )
+    else:
+        _, vjp_fn = jax.vjp(
+            lambda i, p, w: native_multiscale_deformable_attention(
+                i, img_shapes, p, w, padding_mode, align_corners
+            ),
+            img,
+            pts,
+            wts,
+        )
+        img_grad, pts_grad, wts_grad = vjp_fn(out_grad)
+    # img_shapes is integer-valued -> float0 cotangent.
+    shapes_grad = np.zeros(img_shapes.shape, dtype=jax.dtypes.float0)
+    return img_grad, shapes_grad, pts_grad, wts_grad
+
+
+_msda.defvjp(_msda_fwd, _msda_bwd)
+
+
+def multiscale_deformable_attention(
+    img,
+    img_shapes,
+    sampling_points,
+    attention_weights,
+    padding_mode: str = "border",
+    align_corners: bool = False,
+    *,
+    impl: str = "auto",
+):
+    """Differentiable multiscale deformable attention (Deformable DETR,
+    arXiv:2010.04159).
+
+    Args:
+        img: ``[batch, num_pixels, num_heads, head_channels]`` flattened
+            feature pyramid, where ``num_pixels = sum(h_l * w_l)`` over
+            levels.
+        img_shapes: ``[num_levels, 2]`` integer (height, width) per level.
+            May be a traced jnp array, numpy array, or sequence of pairs.
+        sampling_points: ``[batch, num_queries, num_heads, num_levels,
+            num_points, 2]`` sampling locations in normalized (x, y)
+            coordinates in [0, 1]; (0, 0) is the top-left corner and (1, 1)
+            the bottom-right.
+        attention_weights: ``[batch, num_queries, num_heads, num_levels,
+            num_points]``.
+        padding_mode: how out-of-bounds samples are handled — "border"
+            clamps to the nearest edge pixel, "zeros" treats outside as 0.
+        align_corners: grid alignment convention, as in
+            ``torch.nn.functional.grid_sample``.
+        impl: "auto" (fused on TPU, reference elsewhere), "fused", or
+            "reference".
+
+    Returns:
+        ``[batch, num_queries, num_heads, head_channels]`` output tensor.
+
+    Reference parity: function semantics match
+    /root/reference/src/msda_triton/frontend.py:145-172 (including
+    grid_sample-exact padding_mode / align_corners behavior).
+    """
+    if padding_mode not in _VALID_PADDING:
+        raise ValueError(
+            f"padding_mode must be one of {_VALID_PADDING}, got {padding_mode!r}"
+        )
+    img_shapes = jnp.asarray(img_shapes)
+    if not jnp.issubdtype(img_shapes.dtype, jnp.integer):
+        img_shapes = img_shapes.astype(jnp.int32)
+    _check_inputs(img, img_shapes, sampling_points, attention_weights)
+    impl = _resolve_impl(impl)
+    return _msda(
+        img,
+        img_shapes,
+        sampling_points,
+        attention_weights,
+        padding_mode,
+        bool(align_corners),
+        impl,
+    )

@@ -1,0 +1,43 @@
+"""Test configuration.
+
+Must run before jax initializes: forces 8 virtual CPU host devices so the
+multi-chip sharding tests (tests/test_sharding.py) can build an 8-device mesh
+on any machine, with or without real TPUs attached.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# f64 support for the interpreter-path tests (runs on CPU devices only; the
+# reference test suite covers torch.float64 the same way —
+# /root/reference/tests/test_msda.py:65-72).
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+def has_tpu() -> bool:
+    try:
+        return len(jax.devices("tpu")) > 0
+    except RuntimeError:
+        return False
+
+
+requires_tpu = pytest.mark.skipif(not has_tpu(), reason="no TPU available")
+
+
+@pytest.fixture(scope="session")
+def cpu_device():
+    return jax.devices("cpu")[0]
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")

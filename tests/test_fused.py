@@ -1,0 +1,102 @@
+"""Fused (patch-gather) path vs the interpreter reference and torch oracle.
+
+Analogue of the reference's Triton-vs-oracle tests
+(/root/reference/tests/test_msda.py:65-151), with genuinely OOB sampling
+points, run on whatever the default backend is (TPU when available, CPU
+otherwise — the fused formulation is pure XLA and runs anywhere).
+"""
+
+from itertools import product
+
+import jax
+import numpy as np
+import pytest
+
+from msda_tpu.ops import multiscale_deformable_attention
+from oracle import torch_msda_oracle, torch_msda_oracle_grads
+from utils import get_functional_data
+
+# bf16 tolerance follows the reference's fp16 row (test_msda.py:16-18):
+# half-precision *inputs* quantize the sampling coordinates themselves, so
+# errors vs the f32 oracle are O(1e-1).
+FWD_TOL = {"float32": (1e-5, 1e-5), "bfloat16": (1.5e-1, 1.5e-1)}
+BWD_TOL = {"float32": (1e-4, 1e-4)}
+
+GRID = list(product(["border", "zeros"], [True, False]))
+
+
+@pytest.mark.parametrize("padding_mode,align_corners", GRID)
+@pytest.mark.parametrize("oob", [False, True])
+def test_fused_forward(padding_mode, align_corners, oob):
+    img, shapes, pts, wts, _ = get_functional_data(dtype=np.float32, oob=oob)
+    got = np.asarray(
+        multiscale_deformable_attention(
+            img, shapes, pts, wts, padding_mode, align_corners, impl="fused"
+        )
+    )
+    want = torch_msda_oracle(img, shapes, pts, wts, padding_mode, align_corners)
+    atol, rtol = FWD_TOL["float32"]
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
+
+
+@pytest.mark.parametrize("padding_mode,align_corners", GRID)
+def test_fused_backward(padding_mode, align_corners):
+    img, shapes, pts, wts, og = get_functional_data(dtype=np.float32, oob=True)
+
+    def f(i, p, w):
+        return multiscale_deformable_attention(
+            i, shapes, p, w, padding_mode, align_corners, impl="fused"
+        )
+
+    out, vjp = jax.vjp(f, img, pts, wts)
+    img_g, pts_g, wts_g = vjp(og)
+
+    want_out, want_img_g, want_pts_g, want_wts_g = torch_msda_oracle_grads(
+        img, shapes, pts, wts, og, padding_mode, align_corners
+    )
+    atol, rtol = BWD_TOL["float32"]
+    np.testing.assert_allclose(np.asarray(out), want_out, atol=atol, rtol=rtol)
+    np.testing.assert_allclose(np.asarray(img_g), want_img_g, atol=atol, rtol=rtol)
+    np.testing.assert_allclose(np.asarray(wts_g), want_wts_g, atol=atol, rtol=rtol)
+    np.testing.assert_allclose(np.asarray(pts_g), want_pts_g, atol=atol, rtol=rtol)
+
+
+def test_fused_bf16():
+    """bf16 storage runs and is close to the f32 oracle at half tolerance."""
+    import jax.numpy as jnp
+
+    img, shapes, pts, wts, _ = get_functional_data(dtype=np.float32)
+    got = np.asarray(
+        multiscale_deformable_attention(
+            jnp.asarray(img, jnp.bfloat16),
+            shapes,
+            jnp.asarray(pts, jnp.bfloat16),
+            jnp.asarray(wts, jnp.bfloat16),
+            "border",
+            True,
+            impl="fused",
+        ).astype(jnp.float32)
+    )
+    want = torch_msda_oracle(img, shapes, pts, wts, "border", True)
+    atol, rtol = FWD_TOL["bfloat16"]
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
+
+
+def test_fused_matches_reference_jit_grad():
+    """jit(grad(fused)) == jit(grad(reference)) on the same inputs."""
+    import jax.numpy as jnp
+
+    img, shapes, pts, wts, og = get_functional_data(dtype=np.float32, oob=True)
+
+    def make_loss(impl):
+        def loss(i, p, w):
+            out = multiscale_deformable_attention(
+                i, shapes, p, w, "zeros", False, impl=impl
+            )
+            return jnp.sum(out * og)
+        return loss
+
+    g_fused = jax.jit(jax.grad(make_loss("fused"), argnums=(0, 1, 2)))(img, pts, wts)
+    g_ref = jax.jit(jax.grad(make_loss("reference"), argnums=(0, 1, 2)))(img, pts, wts)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)

@@ -1,0 +1,117 @@
+"""Interpreter (pure-jnp reference path) vs torch grid_sample oracle.
+
+Mirrors the reference forward test matrix
+(/root/reference/tests/test_msda.py:65-118) — dtype x padding_mode x
+align_corners — and closes its OOB-coverage gap (test_msda.py:92-100 reused
+in-range points; here the OOB variant draws points in [-0.5, 1.5]).
+"""
+
+from itertools import product
+
+import jax
+import numpy as np
+import pytest
+
+from msda_tpu.ops import native_multiscale_deformable_attention
+from oracle import torch_msda_oracle, torch_msda_oracle_grads
+from utils import get_functional_data
+
+# (atol, rtol) per dtype, analogous to the reference tolerance table
+# (test_msda.py:15-27).
+FWD_TOL = {
+    "float32": (1e-5, 1e-5),
+    "float64": (1e-12, 1e-12),
+}
+BWD_TOL = {
+    "float32": (1e-4, 1e-4),
+    "float64": (1e-10, 1e-10),
+}
+
+GRID = list(product(["float32", "float64"], ["border", "zeros"], [True, False]))
+
+
+def _run_reference(img, shapes, pts, wts, padding_mode, align_corners):
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        out = native_multiscale_deformable_attention(
+            img, shapes, pts, wts, padding_mode, align_corners
+        )
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("dtype,padding_mode,align_corners", GRID)
+def test_reference_forward(dtype, padding_mode, align_corners):
+    img, shapes, pts, wts, _ = get_functional_data(dtype=getattr(np, dtype))
+    got = _run_reference(img, shapes, pts, wts, padding_mode, align_corners)
+    want = torch_msda_oracle(img, shapes, pts, wts, padding_mode, align_corners)
+    atol, rtol = FWD_TOL[dtype]
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
+
+
+@pytest.mark.parametrize("dtype,padding_mode,align_corners", GRID)
+def test_reference_forward_oob_sampling(dtype, padding_mode, align_corners):
+    """Genuinely out-of-range sampling points (fixes the reference's gap)."""
+    img, shapes, pts, wts, _ = get_functional_data(
+        dtype=getattr(np, dtype), oob=True
+    )
+    got = _run_reference(img, shapes, pts, wts, padding_mode, align_corners)
+    want = torch_msda_oracle(img, shapes, pts, wts, padding_mode, align_corners)
+    atol, rtol = FWD_TOL[dtype]
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
+
+
+@pytest.mark.parametrize("dtype,padding_mode,align_corners", GRID)
+def test_reference_backward(dtype, padding_mode, align_corners):
+    """All three input grads vs torch autograd through grid_sample
+    (analogue of test_msda.py:129-151), with OOB points included."""
+    np_dtype = getattr(np, dtype)
+    img, shapes, pts, wts, og = get_functional_data(dtype=np_dtype, oob=True)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        def f(i, p, w):
+            return native_multiscale_deformable_attention(
+                i, shapes, p, w, padding_mode, align_corners
+            )
+        out, vjp = jax.vjp(f, img, pts, wts)
+        img_g, pts_g, wts_g = vjp(og.astype(np_dtype))
+
+    want_out, want_img_g, want_pts_g, want_wts_g = torch_msda_oracle_grads(
+        img, shapes, pts, wts, og, padding_mode, align_corners
+    )
+    atol, rtol = BWD_TOL[dtype]
+    np.testing.assert_allclose(np.asarray(out), want_out, atol=atol, rtol=rtol)
+    np.testing.assert_allclose(np.asarray(img_g), want_img_g, atol=atol, rtol=rtol)
+    np.testing.assert_allclose(np.asarray(wts_g), want_wts_g, atol=atol, rtol=rtol)
+    np.testing.assert_allclose(np.asarray(pts_g), want_pts_g, atol=atol, rtol=rtol)
+
+
+def test_reference_traced_img_shapes():
+    """img_shapes may be a traced jnp array (no retrace needed per shape)."""
+    import jax.numpy as jnp
+
+    img, shapes, pts, wts, _ = get_functional_data()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        f = jax.jit(
+            lambda i, s, p, w: native_multiscale_deformable_attention(
+                i, s, p, w, "border", True
+            )
+        )
+        got = np.asarray(f(img, jnp.asarray(shapes), pts, wts))
+    want = torch_msda_oracle(img, shapes, pts, wts, "border", True)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("bad", ["padding", "shape"])
+def test_reference_validation_errors(bad):
+    from msda_tpu.ops import multiscale_deformable_attention
+
+    img, shapes, pts, wts, _ = get_functional_data()
+    with pytest.raises(ValueError):
+        if bad == "padding":
+            multiscale_deformable_attention(img, shapes, pts, wts, "reflect", True)
+        else:
+            multiscale_deformable_attention(
+                img, shapes, pts[..., :1], wts, "border", True
+            )
