@@ -1,0 +1,60 @@
+"""Headline benchmark for the driver: one JSON line on stdout.
+
+Workload = the reference's benchmark config at its headline point
+(scripts/benchmark.py:24-31 in /root/reference): B=4, H=8, C=32, P=4,
+pyramid (64,64),(32,32),(16,16),(8,8), fp32, padding=border,
+align_corners=True, num_queries=10000, fwd+bwd.
+
+Baseline = the reference Triton kernel on an RTX 2060: fwd+bwd 22.78 ms
+(reference README.md:19, recorded in BASELINE.md).  ``vs_baseline`` is the
+speedup factor baseline_ms / our_ms (>1 means faster than baseline).
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, ".")
+    from msda_tpu.ops import multiscale_deformable_attention as msda
+    from msda_tpu.utils import timeit_op
+
+    shapes = np.array([(64, 64), (32, 32), (16, 16), (8, 8)], np.int32)
+    B, H, C, P, L = 4, 8, 32, 4, 4
+    I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
+    N = 10000
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    img = jax.random.normal(k1, (B, I, H, C), jnp.float32)
+    pts = jax.random.uniform(k2, (B, N, H, L, P, 2), jnp.float32)
+    wts = jax.nn.softmax(jax.random.normal(k3, (B, N, H, L, P), jnp.float32), -1)
+    og = jax.random.uniform(k4, (B, N, H, C), jnp.float32)
+
+    impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+
+    def step(carry):
+        img, pts, acc = carry
+        def f(i, p, w):
+            return msda(i, shapes, p, w, "border", True, impl=impl)
+        out, vjp = jax.vjp(f, img, pts, wts)
+        ig, pg, wg = vjp(og)
+        return (img + ig * 1e-12, pts + pg * 1e-12,
+                acc + out[0, 0, 0, 0] * 1e-6)
+
+    t = timeit_op(step, (img, pts, jnp.float32(0)), n=6, repeats=3)
+    ms = t * 1e3
+    baseline_ms = 22.78
+    print(json.dumps({
+        "metric": f"MSDA fwd+bwd latency @10k queries fp32 ({impl})",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ms, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

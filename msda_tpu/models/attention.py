@@ -57,6 +57,10 @@ class MultiscaleDeformableAttention(nn.Module):
     offset_normalizer: Literal["reference", "detr"] = "reference"
     impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
+    # Optional jax.sharding.Mesh with ("dp", "sp", "tp") axes: when set, the
+    # op operands/outputs carry the canonical MSDA shardings (batch=dp,
+    # queries=sp, heads=tp) so GSPMD partitions multi-chip execution.
+    mesh: object = None
 
     def setup(self):
         if self.hidden_dim % self.num_heads != 0:
@@ -127,14 +131,30 @@ class MultiscaleDeformableAttention(nn.Module):
                 f"but got {last}."
             )
 
-        out = multiscale_deformable_attention(
-            img_p,
-            shapes,
-            sampling_points,
-            attention_weights,
-            self.padding_mode,
-            self.align_corners,
-            impl=self.impl,
-        )
+        if self.mesh is not None:
+            from ..parallel.sharding import (
+                sharded_multiscale_deformable_attention,
+            )
+
+            out = sharded_multiscale_deformable_attention(
+                self.mesh,
+                img_p,
+                shapes,
+                sampling_points,
+                attention_weights,
+                self.padding_mode,
+                self.align_corners,
+                impl=self.impl,
+            )
+        else:
+            out = multiscale_deformable_attention(
+                img_p,
+                shapes,
+                sampling_points,
+                attention_weights,
+                self.padding_mode,
+                self.align_corners,
+                impl=self.impl,
+            )
         out = out.reshape(B, N, C)
         return self.query_output_proj(out)

@@ -1,0 +1,218 @@
+"""Deformable-DETR-style detection model built on the MSDA op.
+
+The reference repo ships only the attention module; its north-star use case
+is Deformable DETR / Grounding DINO (README.md:25-34 detection-parity demo).
+This module provides that surrounding model family, TPU-first: a deformable
+encoder over the flattened feature pyramid, a decoder with learned queries,
+and detection heads — the standard architecture of arXiv:2010.04159 §4.
+
+Everything is jit-friendly (static shapes, no data-dependent control flow)
+and shards over a (dp, sp, tp) mesh via the canonical MSDA shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .attention import MultiscaleDeformableAttention
+
+__all__ = [
+    "make_encoder_reference_points",
+    "DeformableEncoderLayer",
+    "DeformableDecoderLayer",
+    "DeformableDetr",
+]
+
+
+def make_encoder_reference_points(img_shapes) -> jnp.ndarray:
+    """Normalized (x, y) centers of every pyramid pixel: [I, 2].
+
+    Encoder self-attention uses each pixel as a query whose reference point
+    is its own location (Deformable DETR §A.2).
+    """
+    shapes = np.asarray(img_shapes)
+    refs = []
+    for h, w in shapes:
+        ys, xs = np.meshgrid(
+            (np.arange(h) + 0.5) / h, (np.arange(w) + 0.5) / w, indexing="ij"
+        )
+        refs.append(np.stack([xs, ys], axis=-1).reshape(-1, 2))
+    return jnp.asarray(np.concatenate(refs, axis=0), jnp.float32)
+
+
+class _FFN(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.hidden)(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.dim)(y)
+        return nn.LayerNorm()(x + y)
+
+
+class DeformableEncoderLayer(nn.Module):
+    """Pyramid self-attention: every pixel attends deformably to the pyramid."""
+
+    emb_dim: int
+    num_levels: int
+    num_heads: int
+    num_points: int
+    ffn_dim: int = 1024
+    impl: str = "auto"
+    mesh: object = None
+
+    @nn.compact
+    def __call__(self, feats, img_shapes, reference_points):
+        """feats [B, I, D]; reference_points [I, 2] -> [B, I, D]."""
+        B, I, D = feats.shape  # noqa: E741
+        attn = MultiscaleDeformableAttention(
+            emb_dim=self.emb_dim,
+            hidden_dim=self.emb_dim,
+            num_levels=self.num_levels,
+            num_heads=self.num_heads,
+            num_points=self.num_points,
+            padding_mode="border",
+            align_corners=False,
+            impl=self.impl,
+            mesh=self.mesh,
+        )
+        refs = jnp.broadcast_to(reference_points[None], (B, I, 2))
+        y = attn(feats, img_shapes, feats, refs)
+        x = nn.LayerNorm()(feats + y)
+        return _FFN(self.emb_dim, self.ffn_dim)(x)
+
+
+class DeformableDecoderLayer(nn.Module):
+    """Query self-attention + deformable cross-attention into the pyramid."""
+
+    emb_dim: int
+    num_levels: int
+    num_heads: int
+    num_points: int
+    ffn_dim: int = 1024
+    impl: str = "auto"
+    mesh: object = None
+
+    @nn.compact
+    def __call__(self, queries, feats, img_shapes, reference_points):
+        """queries [B, N, D]; feats [B, I, D]; reference_points [B, N, 2|4]."""
+        sa = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.emb_dim
+        )
+        x = nn.LayerNorm()(queries + sa(queries))
+        ca = MultiscaleDeformableAttention(
+            emb_dim=self.emb_dim,
+            hidden_dim=self.emb_dim,
+            num_levels=self.num_levels,
+            num_heads=self.num_heads,
+            num_points=self.num_points,
+            padding_mode="border",
+            align_corners=False,
+            impl=self.impl,
+            mesh=self.mesh,
+        )
+        y = ca(feats, img_shapes, x, reference_points)
+        x = nn.LayerNorm()(x + y)
+        return _FFN(self.emb_dim, self.ffn_dim)(x)
+
+
+class DeformableDetr(nn.Module):
+    """Minimal Deformable-DETR detector over a multi-scale feature pyramid.
+
+    Consumes per-level backbone features (already extracted; any backbone
+    can feed this), runs the deformable encoder/decoder, and emits class
+    logits and normalized (cx, cy, w, h) boxes per query — the structure of
+    arXiv:2010.04159 without the training-only extras (iterative box
+    refinement / two-stage proposals are TODO extensions).
+    """
+
+    num_classes: int
+    emb_dim: int = 256
+    num_heads: int = 8
+    num_points: int = 4
+    num_queries: int = 100
+    num_encoder_layers: int = 2
+    num_decoder_layers: int = 2
+    ffn_dim: int = 1024
+    impl: str = "auto"
+    mesh: object = None
+
+    @nn.compact
+    def __call__(self, pyramid: Sequence[jax.Array], img_shapes):
+        """pyramid: per-level features [B, h_l, w_l, C_l]; img_shapes [L, 2].
+
+        Returns dict(logits=[B, N, num_classes], boxes=[B, N, 4] in
+        normalized cxcywh).
+        """
+        L = len(pyramid)
+        B = pyramid[0].shape[0]
+
+        # per-level input projection to emb_dim + level embedding, flatten
+        level_emb = self.param(
+            "level_embedding",
+            nn.initializers.normal(0.02),
+            (L, self.emb_dim),
+        )
+        feats = []
+        for lvl, f in enumerate(pyramid):
+            x = nn.Dense(self.emb_dim, name=f"input_proj_{lvl}")(f)
+            x = x.reshape(B, -1, self.emb_dim) + level_emb[lvl]
+            feats.append(x)
+        feats = jnp.concatenate(feats, axis=1)  # [B, I, D]
+
+        enc_refs = make_encoder_reference_points(img_shapes)
+        for i in range(self.num_encoder_layers):
+            feats = DeformableEncoderLayer(
+                emb_dim=self.emb_dim,
+                num_levels=L,
+                num_heads=self.num_heads,
+                num_points=self.num_points,
+                ffn_dim=self.ffn_dim,
+                impl=self.impl,
+                mesh=self.mesh,
+                name=f"encoder_layer_{i}",
+            )(feats, img_shapes, enc_refs)
+
+        query_emb = self.param(
+            "query_embedding",
+            nn.initializers.normal(0.02),
+            (self.num_queries, self.emb_dim),
+        )
+        queries = jnp.broadcast_to(
+            query_emb[None], (B, self.num_queries, self.emb_dim)
+        )
+        # learned reference boxes per query (sigmoid-normalized cxcywh)
+        ref_logit = self.param(
+            "reference_box_logits",
+            nn.initializers.normal(0.5),
+            (self.num_queries, 4),
+        )
+        refs = jax.nn.sigmoid(ref_logit)[None]
+        refs = jnp.broadcast_to(refs, (B, self.num_queries, 4))
+
+        for i in range(self.num_decoder_layers):
+            queries = DeformableDecoderLayer(
+                emb_dim=self.emb_dim,
+                num_levels=L,
+                num_heads=self.num_heads,
+                num_points=self.num_points,
+                ffn_dim=self.ffn_dim,
+                impl=self.impl,
+                mesh=self.mesh,
+                name=f"decoder_layer_{i}",
+            )(queries, feats, img_shapes, refs)
+
+        logits = nn.Dense(self.num_classes, name="class_head")(queries)
+        box_delta = nn.Dense(4, name="box_head")(queries)
+        # box = reference box refined by the head (inverse-sigmoid space)
+        eps = 1e-5
+        ref_logits = jnp.log(refs / (1.0 - refs + eps) + eps)
+        boxes = jax.nn.sigmoid(ref_logits + box_delta)
+        return {"logits": logits, "boxes": boxes}

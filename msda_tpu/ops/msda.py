@@ -13,11 +13,16 @@ This is the TPU-native analogue of the reference dispatch/autograd layer
   (kernels.py:421 "recompute forward", README.md:20 equal-memory claim).
 
 Implementations:
-    "fused":     TPU-optimized formulation (per-level 2x2 patch gathers that
-                 XLA lowers to its native gather machinery; see fused.py).
+    "pallas":    Pallas TPU kernels (pallas_fwd.py / pallas_bwd.py) — the
+                 fast path: bilinear sampling recast as MXU matmuls against
+                 VMEM-resident level images (measured ~10-20x faster than
+                 any XLA-gather formulation on TPU v5e, whose general gather
+                 runs far below HBM bandwidth).
+    "fused":     XLA-level per-level 2x2 patch gathers (fused.py); portable,
+                 but gather-bound on TPU.
     "reference": the pure-jnp row-gather interpreter (reference.py), the
                  semantics spec; runs on any backend, supports f64 on CPU.
-    "auto":      "fused" on TPU, "reference" elsewhere.
+    "auto":      "pallas" on TPU (static shapes), "reference" elsewhere.
 """
 
 from __future__ import annotations
@@ -30,11 +35,13 @@ import numpy as np
 
 from .reference import native_multiscale_deformable_attention
 from . import fused as _fused
+from . import pallas_fwd as _pfwd
+from . import pallas_bwd as _pbwd
 
 __all__ = ["multiscale_deformable_attention"]
 
 _VALID_PADDING = ("border", "zeros")
-_VALID_IMPL = ("auto", "fused", "reference")
+_VALID_IMPL = ("auto", "pallas", "fused", "reference")
 
 # Dtypes accepted for the differentiable op; mirrors the reference whitelist
 # {fp16, fp32, fp64} (frontend.py:84-90) with bf16 added as the TPU-native
@@ -82,11 +89,15 @@ def _resolve_impl(impl: str) -> str:
     if impl not in _VALID_IMPL:
         raise ValueError(f"impl must be one of {_VALID_IMPL}, got {impl!r}")
     if impl == "auto":
-        return "fused" if jax.default_backend() == "tpu" else "reference"
+        return "pallas" if jax.default_backend() == "tpu" else "reference"
     return impl
 
 
 def _run_forward(img, img_shapes, pts, wts, padding_mode, align_corners, impl):
+    if impl == "pallas" and not isinstance(img_shapes, jax.core.Tracer):
+        return _pfwd.pallas_multiscale_deformable_attention(
+            img, img_shapes, pts, wts, padding_mode, align_corners
+        )
     if impl == "fused":
         return _fused.fused_multiscale_deformable_attention(
             img, img_shapes, pts, wts, padding_mode, align_corners
@@ -111,7 +122,11 @@ def _msda_fwd(img, img_shapes, pts, wts, padding_mode, align_corners, impl):
 
 def _msda_bwd(padding_mode, align_corners, impl, residuals, out_grad):
     img, img_shapes, pts, wts = residuals
-    if impl == "fused":
+    if impl == "pallas" and not isinstance(img_shapes, jax.core.Tracer):
+        img_grad, pts_grad, wts_grad = _pbwd.pallas_msda_bwd(
+            img, img_shapes, pts, wts, out_grad, padding_mode, align_corners
+        )
+    elif impl == "fused":
         img_grad, pts_grad, wts_grad = _fused.fused_msda_vjp(
             img, img_shapes, pts, wts, out_grad, padding_mode, align_corners
         )

@@ -1,0 +1,323 @@
+"""Pallas TPU forward kernel for multiscale deformable attention.
+
+Design rationale (TPU-first, not a Triton translation)
+------------------------------------------------------
+The reference Triton kernel (/root/reference/src/msda_triton/kernels.py:266-348)
+is built around per-lane random loads (``tl.load(ptr + offsets)``,
+kernels.py:207-210) — a primitive TPUs do not have: Mosaic's only dynamic
+gather works within a single 8x128 vector register tile, and XLA's general
+gather runs at a small fraction of HBM bandwidth (~58 GB/s effective on
+v5e, measured).  Instead of emulating the gather, this kernel reformulates
+bilinear sampling as *matrix products against the level image*, which is
+where a TPU is fast (MXU):
+
+For one level with image ``E[x, (c, y)]`` (c-major, resident in VMEM) and a
+block of query-points k with x-corner positions (x0, x1) and lerp weights
+(vx0, vx1):
+
+    stage 1 (MXU):   T[(c, y), k] = sum_x E[x, (c, y)] * V[x, k]
+                     where V[:, k] is 2-sparse: vx0 at x0, vx1 at x1
+                     (built on the fly from an iota comparison)
+    stage 2:         out[c, k]    = sum_y W[(c, y), k] * T[(c, y), k]
+                     reduced on the MXU by the constant 0/1 matrix
+                     R[(c, y), c'] = (c == c'), with W[:, k] 2-sparse in y:
+                     the y-lerp weights with the attention weight folded in.
+
+Bilinear interpolation is separable, so the 2-sparse V and W columns realize
+exactly the 4-corner lerp of grid_sample, including border clamping (via
+clamped corner indices) and zeros padding (via masked lerp weights) — the
+same semantics as kernels.py:120-252.
+
+Layout doctrine (measured on v5e): query-points live on the *lane* axis
+everywhere (a "transposed" scheme).  Per-point scalars arrive as
+[L, P, n_block] blocks, masks are built as [w, P, n_block] /
+[h, P, n_block] full-width vector ops, and the only reshapes are
+lane-splits/merges whose innermost factor is exactly 128 (free on TPU).
+Row-major variants of these builds run at ~1/8th utilization or fail to
+lower ("unsupported shape cast").
+
+Grid: ``(B*H, N_blocks)`` — each step owns one (batch, head) pyramid slice
+(kept in VMEM across the inner query-block axis) and one block of queries,
+the TPU analogue of the reference's ``[N, B, H]`` launch grid
+(kernels.py:365) with a real query-block dimension (the reference's TODO at
+kernels.py:22-23).
+
+The geometry preprocessing (unnormalize, floor, clamp, masks — cheap
+elementwise work) happens at the XLA level in ``prepare_geometry`` where it
+fuses for free, so the kernel consumes ready int/float per-point tensors.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_multiscale_deformable_attention", "prepare_geometry"]
+
+# query-block size; the free lane-split reshapes require exactly 128.
+N_BLOCK = 128
+
+# set True to run the kernels through the Pallas interpreter (any backend);
+# used by the CPU test suite.
+INTERPRET = False
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def prepare_geometry(
+    sampling_points, attention_weights, shapes, padding_mode, align_corners,
+    compute_dtype=jnp.float32,
+):
+    """Elementwise geometry prep at the XLA level.
+
+    Returns per-point tensors, each [B, H, L, P, N] (query-last layout for
+    the kernel's lane-major scheme):
+        x0, y0            int32 floor corner (unclamped)
+        vx0, vx1          x-lerp weights with zeros-mask folded
+        wy0, wy1          y-lerp weights with zeros-mask *and* attention
+                          weight folded
+    Mirrors the unnormalization / mask / clamp semantics of the reference
+    device helper (kernels.py:120-252).
+    """
+    B, N, H, L, P = attention_weights.shape
+    pts = sampling_points.astype(compute_dtype)
+    wts = attention_weights.astype(compute_dtype)
+
+    hs = jnp.asarray(shapes[:, 0], compute_dtype)[None, None, None, :, None]
+    ws = jnp.asarray(shapes[:, 1], compute_dtype)[None, None, None, :, None]
+    x = pts[..., 0]
+    y = pts[..., 1]
+    if align_corners:
+        x = x * (ws - 1.0)
+        y = y * (hs - 1.0)
+    else:
+        x = x * ws - 0.5
+        y = y * hs - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    dx = x - x0f
+    dy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    one = jnp.ones((), compute_dtype)
+    if padding_mode == "zeros":
+        wi = ws.astype(jnp.int32)
+        hi = hs.astype(jnp.int32)
+        mx0 = ((x0 >= 0) & (x0 < wi)).astype(compute_dtype)
+        mx1 = ((x0 + 1 >= 0) & (x0 + 1 < wi)).astype(compute_dtype)
+        my0 = ((y0 >= 0) & (y0 < hi)).astype(compute_dtype)
+        my1 = ((y0 + 1 >= 0) & (y0 + 1 < hi)).astype(compute_dtype)
+    else:
+        mx0 = mx1 = my0 = my1 = one
+
+    vx0 = (1.0 - dx) * mx0
+    vx1 = dx * mx1
+    wy0 = (1.0 - dy) * my0 * wts
+    wy1 = dy * my1 * wts
+
+    def to_kernel_layout(t):
+        return t.transpose(0, 2, 3, 4, 1)  # [B, H, L, P, N]
+
+    return tuple(map(to_kernel_layout, (x0, y0, vx0, vx1, wy0, wy1)))
+
+
+def _fwd_kernel(
+    # inputs (refs)
+    x0_ref, y0_ref, vx0_ref, vx1_ref, wy0_ref, wy1_ref,
+    *emat_and_out,
+    # static
+    level_shapes, P, C, precision,
+):
+    """One grid step: one (b, h) slice x one query block, all levels."""
+    L = len(level_shapes)
+    emat_refs = emat_and_out[:L]
+    out_ref = emat_and_out[L]
+
+    nblk = N_BLOCK
+    kblk = nblk * P
+    acc = jnp.zeros((C, nblk), jnp.float32)
+
+    for lvl in range(L):
+        h, w = level_shapes[lvl]
+        # per-point scalars, [1, P, nblk] with queries on lanes
+        x0 = x0_ref[0, 0, lvl][None]
+        y0 = y0_ref[0, 0, lvl][None]
+        vx0 = vx0_ref[0, 0, lvl][None]
+        vx1 = vx1_ref[0, 0, lvl][None]
+        wy0 = wy0_ref[0, 0, lvl][None]
+        wy1 = wy1_ref[0, 0, lvl][None]
+
+        # --- stage 1: V^T[x, k] sparse-lerp columns, matmul against E ---
+        # border-mode clamping of corner indices (kernels.py:166-169);
+        # for zeros mode the weights already carry the OOB masks.
+        x0c = jnp.clip(x0, 0, w - 1)
+        x1c = jnp.clip(x0 + 1, 0, w - 1)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (w, P, nblk), 0)
+        VT = (
+            jnp.where(xi == x0c, vx0, 0.0) + jnp.where(xi == x1c, vx1, 0.0)
+        ).reshape(w, kblk)
+        # T^T[(c, y), k] = E^T V^T   with E[x, (c, y)]
+        TT = jax.lax.dot_general(
+            emat_refs[lvl][0, 0],
+            VT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [C*h, kblk]
+
+        # --- stage 2: y-lerp + attention weight ---
+        y0c = jnp.clip(y0, 0, h - 1)
+        y1c = jnp.clip(y0 + 1, 0, h - 1)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (h, P, nblk), 0)
+        W2T = (
+            jnp.where(yi == y0c, wy0, 0.0) + jnp.where(yi == y1c, wy1, 0.0)
+        ).reshape(h, kblk)
+        WT = jnp.tile(W2T, (C, 1))  # [C*h, kblk], row = c*h + y
+        ZT = TT * WT
+        # reduce y within rows: R[(c, y), c'] = (c == c') — a constant 0/1
+        # matrix, so this contraction is exact apart from Z's own rounding.
+        row = jax.lax.broadcasted_iota(jnp.int32, (h * C, C), 0)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (h * C, C), 1)
+        R = (row // h == cidx).astype(jnp.float32)
+        zcT = jax.lax.dot_general(
+            R, ZT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [C, kblk]
+        # fold P points per query: [C, P*nblk] -> [C, P, nblk] -> sum
+        acc = acc + zcT.reshape(C, P, nblk).sum(axis=1)
+
+    out_ref[0, 0, :, :] = acc
+
+
+def _level_mats(img, shapes):
+    """img [B, I, H, C] -> per-level stage-1 operands [B, H, w, C*h]
+    (c-major lane order; see the module docstring layout notes)."""
+    B, I, H, C = img.shape  # noqa: E741
+    mats = []
+    start = 0
+    for h, w in shapes:
+        h, w = int(h), int(w)
+        lvl = jax.lax.slice_in_dim(img, start, start + h * w, axis=1)
+        # [B, h, w, H, C] -> [B, H, w, C, h] -> [B, H, w, C*h]
+        mats.append(
+            lvl.reshape(B, h, w, H, C)
+            .transpose(0, 3, 2, 4, 1)
+            .reshape(B, H, w, C * h)
+        )
+        start += h * w
+    return mats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "padding_mode", "align_corners", "shapes_tuple", "precision",
+    ),
+)
+def _pallas_fwd(
+    img, sampling_points, attention_weights,
+    *, shapes_tuple, padding_mode, align_corners, precision,
+):
+    B, I, H, C = img.shape  # noqa: E741
+    _, N, _, L, P, _ = sampling_points.shape
+    shapes = np.asarray(shapes_tuple, np.int64)
+
+    geom = prepare_geometry(
+        sampling_points, attention_weights, shapes, padding_mode, align_corners
+    )  # each [B, H, L, P, N]
+
+    n_pad = _round_up(N, N_BLOCK)
+    if n_pad != N:
+        pad = [(0, 0)] * 4 + [(0, n_pad - N)]
+        # padded points: weights are zero -> contribute nothing
+        geom = tuple(jnp.pad(t, pad) for t in geom)
+
+    emats = _level_mats(img.astype(jnp.float32), shapes)
+
+    grid = (B * H, n_pad // N_BLOCK)
+
+    def pt_spec():
+        return pl.BlockSpec(
+            (1, 1, L, P, N_BLOCK),
+            lambda bh, nb: (bh // H, bh % H, 0, 0, nb),
+            memory_space=pltpu.VMEM,
+        )
+
+    def emat_spec(lvl):
+        h, w = int(shapes[lvl, 0]), int(shapes[lvl, 1])
+        return pl.BlockSpec(
+            (1, 1, w, h * C),
+            lambda bh, nb: (bh // H, bh % H, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_spec = pl.BlockSpec(
+        (1, 1, C, N_BLOCK),
+        lambda bh, nb: (bh // H, bh % H, 0, nb),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        level_shapes=tuple((int(h), int(w)) for h, w in shapes),
+        P=P,
+        C=C,
+        precision=precision,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pt_spec() for _ in range(6)] + [emat_spec(l) for l in range(L)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, C, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(*geom, *emats)
+
+    out = out[:, :, :, :N].transpose(0, 3, 1, 2)  # [B, N, H, C]
+    return out.astype(img.dtype)
+
+
+def pallas_multiscale_deformable_attention(
+    img, img_shapes, sampling_points, attention_weights,
+    padding_mode: str = "border", align_corners: bool = False,
+    precision=None,
+):
+    """Pallas TPU forward.  Requires concrete (non-traced) ``img_shapes``.
+
+    Args/semantics identical to
+    :func:`msda_tpu.ops.multiscale_deformable_attention`.
+
+    ``precision``: MXU precision for the in-kernel matmuls.  Defaults to
+    HIGHEST (f32-exact, needed to hit the <=1e-5 parity target) for f32
+    inputs and DEFAULT for bf16 inputs (where the inputs themselves already
+    quantize the geometry).
+    """
+    shapes = np.asarray(jax.device_get(img_shapes)).astype(np.int64)
+    shapes_tuple = tuple((int(h), int(w)) for h, w in shapes)
+    if precision is None:
+        precision = (
+            jax.lax.Precision.DEFAULT
+            if img.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST
+        )
+    return _pallas_fwd(
+        img, sampling_points, attention_weights,
+        shapes_tuple=shapes_tuple,
+        padding_mode=padding_mode,
+        align_corners=bool(align_corners),
+        precision=precision,
+    )

@@ -97,6 +97,9 @@ def native_multiscale_deformable_attention(
         raise ValueError(
             f"padding_mode must be 'border' or 'zeros', got {padding_mode!r}"
         )
+    img = jnp.asarray(img)
+    sampling_points = jnp.asarray(sampling_points)
+    attention_weights = jnp.asarray(attention_weights)
     B, I, H, C = img.shape  # noqa: E741
     _, N, _, L, P, _ = sampling_points.shape
 

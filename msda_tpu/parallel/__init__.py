@@ -1,0 +1,19 @@
+"""Parallelism: mesh construction, canonical shardings, sharded training."""
+
+from .sharding import (
+    make_mesh,
+    MSDA_SHARDINGS,
+    shard_msda_args,
+    sharded_multiscale_deformable_attention,
+)
+from .train import detection_loss, make_train_step, replicate_params
+
+__all__ = [
+    "make_mesh",
+    "MSDA_SHARDINGS",
+    "shard_msda_args",
+    "sharded_multiscale_deformable_attention",
+    "detection_loss",
+    "make_train_step",
+    "replicate_params",
+]

@@ -1,0 +1,82 @@
+"""Sharded training step for MSDA-based detectors.
+
+TPU-native training loop pieces: optax optimizer, a detection loss, and a
+``jit``-compiled train step whose inputs/parameters carry
+``NamedSharding``s over a (dp, sp, tp) mesh — XLA/GSPMD inserts the
+gradient all-reduces (dp) and activation collectives (tp) on ICI.
+
+The reference library has no training infrastructure (SURVEY §2 / §5); this
+is part of the framework extension that makes the op production-usable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["detection_loss", "make_train_step", "replicate_params"]
+
+
+def detection_loss(outputs, targets):
+    """Simple fixed-assignment detection loss.
+
+    targets: dict(labels=[B, N] int (num_classes = background last),
+    boxes=[B, N, 4] cxcywh in [0, 1], mask=[B, N] 1.0 for real objects).
+    Queries are matched to targets by index (teacher-forced assignment);
+    Hungarian matching is a planned extension — the loss structure
+    (classification CE + L1 box) follows arXiv:2010.04159 §4.1.
+    """
+    logits = outputs["logits"]
+    boxes = outputs["boxes"]
+    labels = targets["labels"]
+    tboxes = targets["boxes"]
+    mask = targets["mask"]
+
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    l1 = jnp.abs(boxes - tboxes).sum(-1)
+    loss = ce.mean() + (l1 * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    return loss
+
+
+def replicate_params(params, mesh: Mesh):
+    """Replicate parameters across the mesh (dp+sp+tp all replicated).
+
+    Sharding parameters over tp (Megatron-style split of the projection
+    matrices) is a planned refinement; activations already shard over
+    dp/sp/tp through the op constraints.
+    """
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), params)
+
+
+def make_train_step(model, optimizer, mesh: Mesh, img_shapes):
+    """Build a jitted, mesh-sharded train step:
+    (params, opt_state, pyramid, targets) -> (params, opt_state, loss).
+
+    ``pyramid`` entries are sharded (dp, sp over pixels is implicit via the
+    op constraints), targets over dp.
+    """
+
+    def loss_fn(params, pyramid, targets):
+        pyramid = [
+            jax.lax.with_sharding_constraint(
+                f, NamedSharding(mesh, P("dp", None, None, None))
+            )
+            for f in pyramid
+        ]
+        outputs = model.apply(params, pyramid, img_shapes)
+        return detection_loss(outputs, targets)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, pyramid, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(params, pyramid, targets)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step

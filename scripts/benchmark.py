@@ -1,0 +1,152 @@
+"""MSDA benchmark sweep (analogue of /root/reference/scripts/benchmark.py).
+
+Sweeps num_queries over the reference grid {10, 100, 300, 900, 1000, 10000}
+with the reference workload (B=4, H=8, C=32, P=4, pyramid
+(64,64),(32,32),(16,16),(8,8), fp32, border, align_corners=True —
+scripts/benchmark.py:24-31) and measures:
+
+  * fwd latency        (reference benchmark_fwd)
+  * fwd+bwd latency    (reference benchmark_fwdbwd)
+  * peak device memory (reference benchmark_memory)
+
+for each implementation (pallas / reference interpreter / fused XLA), plus
+a bf16 variant of the pallas path.  Timing uses in-jit iteration with a
+data-dependent carry (see msda_tpu.utils.bench for why per-call wall
+clocks are unusable through remote TPU tunnels).
+
+Writes a CSV to outputs/benchmark_results.csv and prints a table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msda_tpu.ops import multiscale_deformable_attention as msda
+from msda_tpu.utils import timeit_op, device_memory_stats
+
+SHAPES = np.array([(64, 64), (32, 32), (16, 16), (8, 8)], np.int32)
+B, H, C, P = 4, 8, 32, 4
+L = len(SHAPES)
+I = int((SHAPES[:, 0] * SHAPES[:, 1]).sum())  # noqa: E741
+PADDING, ALIGN = "border", True
+BASELINES = {  # reference Triton numbers on RTX 2060 (README.md:18-19)
+    ("fwd", 10000): 3.78,
+    ("fwdbwd", 10000): 22.78,
+}
+
+
+def make_data(n, dtype=jnp.float32, seed=0):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    img = jax.random.normal(k1, (B, I, H, C), dtype)
+    pts = jax.random.uniform(k2, (B, n, H, L, P, 2), dtype)
+    wts = jax.nn.softmax(
+        jax.random.normal(k3, (B, n, H, L, P), dtype), axis=-1
+    )
+    og = jax.random.uniform(k4, (B, n, H, C), dtype)
+    return img, pts, wts, og
+
+
+def bench_fwd(impl, n, dtype=jnp.float32, iters=10):
+    img, pts, wts, _ = make_data(n, dtype)
+
+    def step(carry):
+        img, pts, acc = carry
+        out = msda(img, SHAPES, pts, wts, PADDING, ALIGN, impl=impl)
+        return (img, pts + jnp.asarray(1e-9, dtype), acc + out[0, 0, 0, 0].astype(jnp.float32) * 1e-6)
+
+    return timeit_op(step, (img, pts, jnp.float32(0)), n=iters, repeats=2)
+
+
+def bench_fwdbwd(impl, n, dtype=jnp.float32, iters=6):
+    img, pts, wts, og = make_data(n, dtype)
+
+    def step(carry):
+        img, pts, acc = carry
+        def f(i, p, w):
+            return msda(i, SHAPES, p, w, PADDING, ALIGN, impl=impl)
+        out, vjp = jax.vjp(f, img, pts, wts)
+        ig, pg, wg = vjp(og)
+        eps = jnp.asarray(1e-12, dtype)
+        return (img + ig * eps, pts + pg * eps,
+                acc + out[0, 0, 0, 0].astype(jnp.float32) * 1e-6)
+
+    return timeit_op(step, (img, pts, jnp.float32(0)), n=iters, repeats=2)
+
+
+def bench_memory(impl, n, dtype=jnp.float32):
+    """Peak device memory delta for one fwd+bwd (reference
+    scripts/benchmark.py:156-172 analogue)."""
+    stats0 = device_memory_stats()
+    img, pts, wts, og = make_data(n, dtype)
+
+    @jax.jit
+    def run(img, pts, wts, og):
+        def f(i, p, w):
+            return msda(i, SHAPES, p, w, PADDING, ALIGN, impl=impl)
+        out, vjp = jax.vjp(f, img, pts, wts)
+        return out, vjp(og)
+
+    r = run(img, pts, wts, og)
+    jax.block_until_ready(r)
+    stats1 = device_memory_stats()
+    if not stats0 or stats0.get("peak_bytes_in_use") is None:
+        return float("nan")
+    return (stats1["peak_bytes_in_use"] - stats0["bytes_in_use"]) / 1e6
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impls", nargs="+",
+                    default=["pallas", "reference"]
+                    if jax.default_backend() == "tpu"
+                    else ["reference", "fused"])
+    ap.add_argument("--queries", nargs="+", type=int,
+                    default=[10, 100, 300, 900, 1000, 10000])
+    ap.add_argument("--bf16", action="store_true",
+                    help="also run the pallas path in bfloat16")
+    ap.add_argument("--out", default="outputs/benchmark_results.csv")
+    args = ap.parse_args()
+
+    rows = []
+    configs = [(impl, jnp.float32) for impl in args.impls]
+    if args.bf16:
+        configs.append(("pallas", jnp.bfloat16))
+    for impl, dtype in configs:
+        dt = jnp.dtype(dtype).name
+        for n in args.queries:
+            t_f = bench_fwd(impl, n, dtype) * 1e3
+            t_fb = bench_fwdbwd(impl, n, dtype) * 1e3
+            mem = bench_memory(impl, n, dtype)
+            rows.append(dict(impl=impl, dtype=dt, num_queries=n,
+                             fwd_ms=round(t_f, 3), fwdbwd_ms=round(t_fb, 3),
+                             peak_mem_mb=round(mem, 1)))
+            base_f = BASELINES.get(("fwd", n))
+            base_fb = BASELINES.get(("fwdbwd", n))
+            extra = ""
+            if base_f:
+                extra = (f"  [baseline fwd {base_f} ms -> {base_f/t_f:.2f}x; "
+                         f"fwd+bwd {base_fb} ms -> {base_fb/t_fb:.2f}x]")
+            print(f"{impl:10s} {dt:8s} N={n:6d}: fwd {t_f:8.3f} ms, "
+                  f"fwd+bwd {t_fb:8.3f} ms, mem {mem:8.1f} MB{extra}",
+                  flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
