@@ -36,17 +36,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_fwd as _pf
-from .pallas_fwd import _level_mats, _round_up, N_BLOCK
+from .pallas_fwd import _level_mats, _round_up, N_BLOCK, make_sublevels
 
 __all__ = ["pallas_msda_bwd"]
 
 
 def _prepare_raw_geometry(
-    sampling_points, shapes, align_corners, compute_dtype=jnp.float32
+    sampling_points, shapes, align_corners, sublevels,
+    compute_dtype=jnp.float32,
 ):
-    """Elementwise prep: unclamped floor corners and fractional offsets.
+    """Elementwise prep: unclamped floor corners, fractional offsets, and
+    the row-band assignment mask (see pallas_fwd.make_sublevels).
 
-    Returns (x0, y0 int32; dx, dy compute_dtype), each [B, H, L, P, N].
+    Returns (x0, y0 int32 [band-local]; dx, dy, bmask compute_dtype), each
+    [B, H, S, P, N].
     """
     B, N, H, L, P, _ = sampling_points.shape
     pts = sampling_points.astype(compute_dtype)
@@ -66,17 +69,34 @@ def _prepare_raw_geometry(
     def to_kernel_layout(t):
         return t.transpose(0, 2, 3, 4, 1)  # [B, H, L, P, N]
 
-    return (
-        to_kernel_layout(x0f.astype(jnp.int32)),
-        to_kernel_layout(y0f.astype(jnp.int32)),
-        to_kernel_layout(x - x0f),
-        to_kernel_layout(y - y0f),
-    )
+    x0 = to_kernel_layout(x0f.astype(jnp.int32))
+    y0 = to_kernel_layout(y0f.astype(jnp.int32))
+    dx = to_kernel_layout(x - x0f)
+    dy = to_kernel_layout(y - y0f)
+
+    xs0, ys0, dxs, dys, masks = [], [], [], [], []
+    one = jnp.ones(x0.shape[:2] + x0.shape[3:], compute_dtype)
+    for lvl, off, band_h, _, level_h in sublevels:
+        y0_l = y0[:, :, lvl]
+        y0c = jnp.clip(y0_l, 0, level_h - 1)
+        if level_h <= band_h:
+            mask = one
+        else:
+            upper = off + (band_h - 1) if off + band_h < level_h else level_h
+            mask = ((y0c >= off) & (y0c < upper)).astype(compute_dtype)
+        xs0.append(x0[:, :, lvl])
+        ys0.append(y0_l - off)
+        dxs.append(dx[:, :, lvl])
+        dys.append(dy[:, :, lvl])
+        masks.append(mask)
+
+    stack = lambda ts: jnp.stack(ts, axis=2)  # noqa: E731
+    return stack(xs0), stack(ys0), stack(dxs), stack(dys), stack(masks)
 
 
 def _bwd_kernel(
     # inputs
-    x0_ref, y0_ref, dx_ref, dy_ref, wt_ref, og_ref,
+    x0_ref, y0_ref, dx_ref, dy_ref, wt_ref, bm_ref, og_ref,
     *emat_and_outs,
     # static
     level_shapes, P, C, precision, padding_mode, align_corners,
@@ -99,21 +119,24 @@ def _bwd_kernel(
     zeros_mode = padding_mode == "zeros"
 
     for lvl in range(L):
-        h, w = level_shapes[lvl]
+        h, w, level_h = level_shapes[lvl]
         x0 = x0_ref[0, 0, lvl][None]   # [1, P, nblk] int32 unclamped floor
         y0 = y0_ref[0, 0, lvl][None]
         dx = dx_ref[0, 0, lvl][None]
         dy = dy_ref[0, 0, lvl][None]
         wt = wt_ref[0, 0, lvl][None]   # attention weight
+        bm = bm_ref[0, 0, lvl][None]   # row-band assignment mask
 
-        one = jnp.ones((1, P, nblk), jnp.float32)
         if zeros_mode:
             mx0 = ((x0 >= 0) & (x0 < w)).astype(jnp.float32)
             mx1 = ((x0 + 1 >= 0) & (x0 + 1 < w)).astype(jnp.float32)
-            my0 = ((y0 >= 0) & (y0 < h)).astype(jnp.float32)
-            my1 = ((y0 + 1 >= 0) & (y0 + 1 < h)).astype(jnp.float32)
+            # y-range masks use band-local coords; valid because each point
+            # is assigned (via bm) to the band containing both its rows
+            my0 = bm * ((y0 >= 0) & (y0 < h)).astype(jnp.float32)
+            my1 = bm * ((y0 + 1 >= 0) & (y0 + 1 < h)).astype(jnp.float32)
         else:
-            mx0 = mx1 = my0 = my1 = one
+            mx0 = mx1 = jnp.ones((1, P, nblk), jnp.float32)
+            my0 = my1 = bm
 
         x0c = jnp.clip(x0, 0, w - 1)
         x1c = jnp.clip(x0 + 1, 0, w - 1)
@@ -176,12 +199,12 @@ def _bwd_kernel(
         )
 
         # sampling-point grads (coordinate scale from unnormalization,
-        # kernels.py:509-515); the attention weight multiplies in
-        # (kernels.py:518-524)
+        # kernels.py:509-515 — the scale is the *level* extent, not the
+        # row band's); the attention weight multiplies in (kernels.py:518-524)
         if align_corners:
-            xsc, ysc = float(w - 1), float(h - 1)
+            xsc, ysc = float(w - 1), float(level_h - 1)
         else:
-            xsc, ysc = float(w), float(h)
+            xsc, ysc = float(w), float(level_h)
         wt2 = wt[0]  # [P, nblk]
         gx_ref[0, 0, lvl] = xsc * wt2 * jnp.sum(
             (d_dxT * og_kT).reshape(C, P, nblk), axis=0
@@ -215,6 +238,12 @@ def _bwd_kernel(
             ig_refs[lvl][0, 0, :, :] = ig_refs[lvl][0, 0, :, :] + ig_block
 
 
+# y-extent cap per band for the backward (rows); the backward holds more
+# concurrent [band*C, kblk] buffers than the forward, so it uses smaller
+# bands to stay within VMEM (22.8 MB > 16 MB without splitting, measured).
+BWD_ROW_CHUNK = 16
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -228,11 +257,14 @@ def _pallas_bwd(
     B, I, H, C = img.shape  # noqa: E741
     _, N, _, L, P, _ = sampling_points.shape
     shapes = np.asarray(shapes_tuple, np.int64)
+    sublevels = make_sublevels(shapes, BWD_ROW_CHUNK)
+    S = len(sublevels)
 
-    x0, y0, dx, dy = _prepare_raw_geometry(
-        sampling_points, shapes, align_corners
+    x0, y0, dx, dy, bm = _prepare_raw_geometry(
+        sampling_points, shapes, align_corners, sublevels
     )
-    wt = attention_weights.astype(jnp.float32).transpose(0, 2, 3, 4, 1)
+    wt_l = attention_weights.astype(jnp.float32).transpose(0, 2, 3, 4, 1)
+    wt = jnp.stack([wt_l[:, :, sub[0]] for sub in sublevels], axis=2)
     og = out_grad.astype(jnp.float32).transpose(0, 2, 3, 1)  # [B, H, C, N]
 
     n_pad = _round_up(N, N_BLOCK)
@@ -243,14 +275,15 @@ def _pallas_bwd(
         dx = jnp.pad(dx, pad5)
         dy = jnp.pad(dy, pad5)
         wt = jnp.pad(wt, pad5)
+        bm = jnp.pad(bm, pad5)
         og = jnp.pad(og, [(0, 0), (0, 0), (0, 0), (0, n_pad - N)])
 
-    emats = _level_mats(img.astype(jnp.float32), shapes)
+    emats = _level_mats(img.astype(jnp.float32), shapes, sublevels)
     grid = (B * H, n_pad // N_BLOCK)
 
     def pt_spec():
         return pl.BlockSpec(
-            (1, 1, L, P, N_BLOCK),
+            (1, 1, S, P, N_BLOCK),
             lambda bh, nb: (bh // H, bh % H, 0, 0, nb),
             memory_space=pltpu.VMEM,
         )
@@ -262,28 +295,28 @@ def _pallas_bwd(
             memory_space=pltpu.VMEM,
         )
 
-    def emat_spec(lvl):
-        h, w = int(shapes[lvl, 0]), int(shapes[lvl, 1])
+    def emat_spec(sub):
+        _, _, band_h, w, _ = sublevels[sub]
         return pl.BlockSpec(
-            (1, 1, w, h * C),
+            (1, 1, w, band_h * C),
             lambda bh, nb: (bh // H, bh % H, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     out_shapes = (
-        [jax.ShapeDtypeStruct((B, H, L, P, n_pad), jnp.float32)] * 3
+        [jax.ShapeDtypeStruct((B, H, S, P, n_pad), jnp.float32)] * 3
         + [
             jax.ShapeDtypeStruct(
-                (B, H, int(shapes[l, 1]), int(shapes[l, 0]) * C), jnp.float32
+                (B, H, sub[3], sub[2] * C), jnp.float32
             )
-            for l in range(L)
+            for sub in sublevels
         ]
     )
-    out_specs = [pt_spec() for _ in range(3)] + [emat_spec(l) for l in range(L)]
+    out_specs = [pt_spec() for _ in range(3)] + [emat_spec(s_) for s_ in range(S)]
 
     kernel = functools.partial(
         _bwd_kernel,
-        level_shapes=tuple((int(h), int(w)) for h, w in shapes),
+        level_shapes=tuple((sub[2], sub[3], sub[4]) for sub in sublevels),
         P=P,
         C=C,
         precision=precision,
@@ -294,31 +327,55 @@ def _pallas_bwd(
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pt_spec() for _ in range(5)] + [og_spec()]
-        + [emat_spec(l) for l in range(L)],
+        in_specs=[pt_spec() for _ in range(6)] + [og_spec()]
+        + [emat_spec(s_) for s_ in range(S)],
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=_pf.INTERPRET,
-    )(x0, y0, dx, dy, wt, og, *emats)
+    )(x0, y0, dx, dy, wt, bm, og, *emats)
 
-    wg, gx, gy = outs[0], outs[1], outs[2]
-    ig_levels = outs[3:]
+    wg_s, gx_s, gy_s = outs[0], outs[1], outs[2]
+    ig_subs = outs[3:]
 
-    def from_kernel(t):  # [B, H, L, P, n_pad] -> [B, N, H, L, P]
-        return t[..., :N].transpose(0, 4, 1, 2, 3)
+    # fold sub-levels back to levels (each point contributed in exactly one
+    # band, so summing bands of the same level recovers the level grad)
+    def fold(t):  # [B, H, S, P, n_pad] -> [B, N, H, L, P]
+        per_level = []
+        for lvl in range(L):
+            idxs = [i for i, sub in enumerate(sublevels) if sub[0] == lvl]
+            acc = t[:, :, idxs[0]]
+            for i in idxs[1:]:
+                acc = acc + t[:, :, i]
+            per_level.append(acc)
+        lt = jnp.stack(per_level, axis=2)  # [B, H, L, P, n_pad]
+        return lt[..., :N].transpose(0, 4, 1, 2, 3)
 
-    wg = from_kernel(wg)
-    pts_grad = jnp.stack([from_kernel(gx), from_kernel(gy)], axis=-1)
+    wg = fold(wg_s)
+    pts_grad = jnp.stack([fold(gx_s), fold(gy_s)], axis=-1)
 
-    # assemble img grad [B, I, H, C] from per-level [B, H, w, C*h] (c-major)
+    # assemble img grad [B, I, H, C] from per-band [B, H, w, C*hs]
+    # (c-major lanes); overlapping band rows add
     parts = []
-    for l in range(L):
-        h, w = int(shapes[l, 0]), int(shapes[l, 1])
-        g = ig_levels[l].reshape(B, H, w, C, h)
-        parts.append(g.transpose(0, 4, 2, 1, 3).reshape(B, h * w, H, C))
+    for lvl in range(L):
+        h, w = int(shapes[lvl, 0]), int(shapes[lvl, 1])
+        acc = jnp.zeros((B, H, w, C, h), jnp.float32)
+        for i, sub in enumerate(sublevels):
+            if sub[0] != lvl:
+                continue
+            _, off, band_h, _, _ = sub
+            g = ig_subs[i].reshape(B, H, w, C, band_h)
+            acc = jax.lax.dynamic_update_slice(
+                acc,
+                jax.lax.dynamic_slice(
+                    acc, (0, 0, 0, 0, off), (B, H, w, C, band_h)
+                )
+                + g,
+                (0, 0, 0, 0, off),
+            )
+        parts.append(acc.transpose(0, 4, 2, 1, 3).reshape(B, h * w, H, C))
     img_grad = jnp.concatenate(parts, axis=1)
 
     return (

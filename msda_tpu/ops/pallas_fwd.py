@@ -71,18 +71,52 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def make_sublevels(shapes, row_chunk: int):
+    """Split tall pyramid levels into overlapping row bands.
+
+    A bilinear sample touches two consecutive rows, so bands of
+    ``row_chunk + 1`` rows at stride ``row_chunk`` cover every sample
+    exactly once (each point is *assigned* to the band containing its
+    floor row; the one-row overlap keeps its second row in the same band).
+
+    This bounds the kernels' [band_rows * C, kblk] working buffers — the
+    VMEM knob (the analogue of the reference's num_warps autotune space,
+    kernels.py:259-265) — and is also what lets arbitrarily tall real-model
+    pyramids fit VMEM.  Total MXU work is unchanged: the y-extent splits,
+    the contraction and query axes do not.
+
+    Returns a list of (level_idx, y_offset, band_rows, width, level_height).
+    """
+    subs = []
+    for lvl, (h, w) in enumerate(shapes):
+        h, w = int(h), int(w)
+        if h <= row_chunk + 1:
+            subs.append((lvl, 0, h, w, h))
+            continue
+        off = 0
+        while off < h - 1:
+            hs = min(row_chunk + 1, h - off)
+            subs.append((lvl, off, hs, w, h))
+            off += row_chunk
+    return subs
+
+
 def prepare_geometry(
     sampling_points, attention_weights, shapes, padding_mode, align_corners,
+    sublevels,
     compute_dtype=jnp.float32,
 ):
     """Elementwise geometry prep at the XLA level.
 
-    Returns per-point tensors, each [B, H, L, P, N] (query-last layout for
-    the kernel's lane-major scheme):
-        x0, y0            int32 floor corner (unclamped)
+    Returns per-point tensors, each [B, H, S, P, N] (query-last layout for
+    the kernel's lane-major scheme; S = number of sub-levels, see
+    ``make_sublevels``):
+        x0, y0            int32 floor corner (x unclamped; y in band-local
+                          coordinates, with each point's band selected by
+                          zeroing the weights of all other bands)
         vx0, vx1          x-lerp weights with zeros-mask folded
-        wy0, wy1          y-lerp weights with zeros-mask *and* attention
-                          weight folded
+        wy0, wy1          y-lerp weights with zeros-mask, band mask, *and*
+                          attention weight folded
     Mirrors the unnormalization / mask / clamp semantics of the reference
     device helper (kernels.py:120-252).
     """
@@ -124,9 +158,36 @@ def prepare_geometry(
     wy1 = dy * my1 * wts
 
     def to_kernel_layout(t):
-        return t.transpose(0, 2, 3, 4, 1)  # [B, H, L, P, N]
+        return t.transpose(0, 2, 3, 4, 1)  # [B, N, H, L, P] -> [B, H, L, P, N]
 
-    return tuple(map(to_kernel_layout, (x0, y0, vx0, vx1, wy0, wy1)))
+    x0, y0, vx0, vx1, wy0, wy1 = map(
+        to_kernel_layout, (x0, y0, vx0, vx1, wy0, wy1)
+    )
+
+    # expand levels into row bands: each point contributes only in the band
+    # containing its (clamped) floor row
+    xs0, ys0, vxs0, vxs1, wys0, wys1 = [], [], [], [], [], []
+    for lvl, off, band_h, _, level_h in sublevels:
+        x0_l = x0[:, :, lvl]
+        y0_l = y0[:, :, lvl]
+        y0c = jnp.clip(y0_l, 0, level_h - 1)
+        if level_h <= band_h:
+            mask = one
+        else:
+            upper = off + (band_h - 1) if off + band_h < level_h else level_h
+            mask = ((y0c >= off) & (y0c < upper)).astype(compute_dtype)
+        xs0.append(x0_l)
+        ys0.append(y0_l - off)
+        vxs0.append(vx0[:, :, lvl])
+        vxs1.append(vx1[:, :, lvl])
+        wys0.append(wy0[:, :, lvl] * mask)
+        wys1.append(wy1[:, :, lvl] * mask)
+
+    stack = lambda ts: jnp.stack(ts, axis=2)  # noqa: E731
+    return (
+        stack(xs0), stack(ys0), stack(vxs0), stack(vxs1),
+        stack(wys0), stack(wys1),
+    )
 
 
 def _fwd_kernel(
@@ -199,23 +260,29 @@ def _fwd_kernel(
     out_ref[0, 0, :, :] = acc
 
 
-def _level_mats(img, shapes):
-    """img [B, I, H, C] -> per-level stage-1 operands [B, H, w, C*h]
+def _level_mats(img, shapes, sublevels):
+    """img [B, I, H, C] -> per-sub-level stage-1 operands [B, H, w, C*hs]
     (c-major lane order; see the module docstring layout notes)."""
     B, I, H, C = img.shape  # noqa: E741
+    starts = np.concatenate(
+        [[0], np.cumsum([int(h) * int(w) for h, w in shapes])]
+    )
     mats = []
-    start = 0
-    for h, w in shapes:
-        h, w = int(h), int(w)
-        lvl = jax.lax.slice_in_dim(img, start, start + h * w, axis=1)
-        # [B, h, w, H, C] -> [B, H, w, C, h] -> [B, H, w, C*h]
+    for lvl, off, band_h, w, level_h in sublevels:
+        start = int(starts[lvl])
+        full = jax.lax.slice_in_dim(
+            img, start, start + level_h * w, axis=1
+        ).reshape(B, level_h, w, H, C)
+        band = jax.lax.slice_in_dim(full, off, off + band_h, axis=1)
+        # [B, hs, w, H, C] -> [B, H, w, C, hs] -> [B, H, w, C*hs]
         mats.append(
-            lvl.reshape(B, h, w, H, C)
-            .transpose(0, 3, 2, 4, 1)
-            .reshape(B, H, w, C * h)
+            band.transpose(0, 3, 2, 4, 1).reshape(B, H, w, C * band_h)
         )
-        start += h * w
     return mats
+
+
+# y-extent cap per band (rows); bounds the [band*C, kblk] VMEM buffers.
+FWD_ROW_CHUNK = 32
 
 
 @functools.partial(
@@ -231,10 +298,13 @@ def _pallas_fwd(
     B, I, H, C = img.shape  # noqa: E741
     _, N, _, L, P, _ = sampling_points.shape
     shapes = np.asarray(shapes_tuple, np.int64)
+    sublevels = make_sublevels(shapes, FWD_ROW_CHUNK)
+    S = len(sublevels)
 
     geom = prepare_geometry(
-        sampling_points, attention_weights, shapes, padding_mode, align_corners
-    )  # each [B, H, L, P, N]
+        sampling_points, attention_weights, shapes, padding_mode,
+        align_corners, sublevels,
+    )  # each [B, H, S, P, N]
 
     n_pad = _round_up(N, N_BLOCK)
     if n_pad != N:
@@ -242,21 +312,21 @@ def _pallas_fwd(
         # padded points: weights are zero -> contribute nothing
         geom = tuple(jnp.pad(t, pad) for t in geom)
 
-    emats = _level_mats(img.astype(jnp.float32), shapes)
+    emats = _level_mats(img.astype(jnp.float32), shapes, sublevels)
 
     grid = (B * H, n_pad // N_BLOCK)
 
     def pt_spec():
         return pl.BlockSpec(
-            (1, 1, L, P, N_BLOCK),
+            (1, 1, S, P, N_BLOCK),
             lambda bh, nb: (bh // H, bh % H, 0, 0, nb),
             memory_space=pltpu.VMEM,
         )
 
-    def emat_spec(lvl):
-        h, w = int(shapes[lvl, 0]), int(shapes[lvl, 1])
+    def emat_spec(sub):
+        _, _, band_h, w, _ = sublevels[sub]
         return pl.BlockSpec(
-            (1, 1, w, h * C),
+            (1, 1, w, band_h * C),
             lambda bh, nb: (bh // H, bh % H, 0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -269,7 +339,7 @@ def _pallas_fwd(
 
     kernel = functools.partial(
         _fwd_kernel,
-        level_shapes=tuple((int(h), int(w)) for h, w in shapes),
+        level_shapes=tuple((sub[2], sub[3]) for sub in sublevels),
         P=P,
         C=C,
         precision=precision,
@@ -278,7 +348,7 @@ def _pallas_fwd(
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pt_spec() for _ in range(6)] + [emat_spec(l) for l in range(L)],
+        in_specs=[pt_spec() for _ in range(6)] + [emat_spec(s_) for s_ in range(S)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, C, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
