@@ -45,7 +45,9 @@ def main():
         return (img + ig * 1e-12, pts + pg * 1e-12,
                 acc + out[0, 0, 0, 0] * 1e-6)
 
-    t = timeit_op(step, (img, pts, jnp.float32(0)), n=6, repeats=3)
+    # large n amortizes the per-dispatch tunnel overhead (~30 ms/dispatch
+    # measured), matching the reference's warmup=100/rep=1000 methodology
+    t = timeit_op(step, (img, pts, jnp.float32(0)), n=60, repeats=3)
     ms = t * 1e3
     baseline_ms = 22.78
     print(json.dumps({

@@ -42,14 +42,27 @@ def _static_shapes(img_shapes):
 
 
 def _level_views(img, shapes):
-    """Split [B, I, H, C] into per-level [B, H, h, w, C] views."""
+    """Split [B, I, H, C] into per-level [B, H, h, w, C] views.
+
+    Levels with an extent of 1 are zero-padded to 2 so the fixed-size
+    2x2-patch gather/scatter (slice_sizes=(...,2,2,...)) stays in bounds;
+    the padded row/column is never *selected* (corner indices are clamped
+    to the true extent) so values and gradients are unaffected.
+    """
     B, I, H, C = img.shape  # noqa: E741
     views = []
     start = 0
     for h, w in shapes:
         h, w = int(h), int(w)
         lvl = jax.lax.slice_in_dim(img, start, start + h * w, axis=1)
-        views.append(lvl.reshape(B, h, w, H, C).transpose(0, 3, 1, 2, 4))
+        view = lvl.reshape(B, h, w, H, C).transpose(0, 3, 1, 2, 4)
+        if h < 2 or w < 2:
+            view = jnp.pad(
+                view,
+                [(0, 0), (0, 0), (0, max(2 - h, 0)), (0, max(2 - w, 0)),
+                 (0, 0)],
+            )
+        views.append(view)
         start += h * w
     return views
 
@@ -78,9 +91,10 @@ def _patch_coords(pts_l, h, w, align_corners, compute_dtype):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
     wi, hi = int(w), int(h)
-    # Patch start: clipped so [s, s+1] is always in range (needs extent >= 2).
-    sx = jnp.clip(x0i, 0, wi - 2)
-    sy = jnp.clip(y0i, 0, hi - 2)
+    # Patch start: clipped so [s, s+1] stays inside the (possibly padded,
+    # see _level_views) view; max(extent-2, 0) keeps 1-pixel extents at 0.
+    sx = jnp.clip(x0i, 0, max(wi - 2, 0))
+    sy = jnp.clip(y0i, 0, max(hi - 2, 0))
     # Positions of the four (possibly clamped) corners inside the patch.
     x0c = jnp.clip(x0i, 0, wi - 1) - sx   # in {0, 1}
     x1c = jnp.clip(x0i + 1, 0, wi - 1) - sx
@@ -327,8 +341,10 @@ def fused_msda_vjp(
         updates = (
             wpatch[..., None] * og_w[:, :, :, :, None, None, :]
         )  # [B, N, H, P, 2, 2, C]
-        acc = jnp.zeros((B, H, h, w, C), compute_dtype)
+        h2, w2 = max(h, 2), max(w, 2)
+        acc = jnp.zeros((B, H, h2, w2, C), compute_dtype)
         acc = _scatter_add_patches(acc, updates, sy, sx)
+        acc = acc[:, :, :h, :w]  # drop 1-pixel-extent padding (never hit)
         img_grad_levels.append(
             acc.transpose(0, 2, 3, 1, 4).reshape(B, h * w, H, C)
         )

@@ -85,16 +85,33 @@ def _check_inputs(img, img_shapes, sampling_points, attention_weights):
         )
 
 
-def _resolve_impl(impl: str) -> str:
+def _resolve_impl(impl: str, img_shapes, dtype) -> str:
     if impl not in _VALID_IMPL:
         raise ValueError(f"impl must be one of {_VALID_IMPL}, got {impl!r}")
+    traced_shapes = isinstance(img_shapes, jax.core.Tracer)
+    f64 = dtype == jnp.float64
     if impl == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "reference"
+        if jax.default_backend() == "tpu" and not traced_shapes and not f64:
+            return "pallas"
+        return "reference"
+    if impl == "pallas" and f64:
+        raise ValueError(
+            "impl='pallas' supports bf16/f16/f32 only; use "
+            "impl='reference' for float64 (interpreter path)."
+        )
+    if impl == "pallas" and traced_shapes:
+        # the Pallas kernels specialize on the (static) pyramid geometry
+        raise ValueError(
+            "impl='pallas' requires concrete img_shapes (got a traced "
+            "value): pass a numpy array / static sequence, or mark "
+            "img_shapes static in your jit. Use impl='auto' to fall back "
+            "to the reference path for traced shapes."
+        )
     return impl
 
 
 def _run_forward(img, img_shapes, pts, wts, padding_mode, align_corners, impl):
-    if impl == "pallas" and not isinstance(img_shapes, jax.core.Tracer):
+    if impl == "pallas":
         return _pfwd.pallas_multiscale_deformable_attention(
             img, img_shapes, pts, wts, padding_mode, align_corners
         )
@@ -122,7 +139,7 @@ def _msda_fwd(img, img_shapes, pts, wts, padding_mode, align_corners, impl):
 
 def _msda_bwd(padding_mode, align_corners, impl, residuals, out_grad):
     img, img_shapes, pts, wts = residuals
-    if impl == "pallas" and not isinstance(img_shapes, jax.core.Tracer):
+    if impl == "pallas":
         img_grad, pts_grad, wts_grad = _pbwd.pallas_msda_bwd(
             img, img_shapes, pts, wts, out_grad, padding_mode, align_corners
         )
@@ -177,8 +194,17 @@ def multiscale_deformable_attention(
             clamps to the nearest edge pixel, "zeros" treats outside as 0.
         align_corners: grid alignment convention, as in
             ``torch.nn.functional.grid_sample``.
-        impl: "auto" (fused on TPU, reference elsewhere), "fused", or
-            "reference".
+        impl: implementation selector —
+            "auto" (default): the Pallas TPU kernels on a TPU backend with
+                concrete ``img_shapes``, the pure-jnp "reference" path
+                otherwise;
+            "pallas": the Pallas TPU kernels (raises for traced
+                ``img_shapes`` — the kernels specialize on the pyramid
+                geometry);
+            "fused": the XLA patch-gather formulation (portable, slow on
+                TPU at scale — gather-bound);
+            "reference": the pure-jnp interpreter (any backend, f64-capable
+                off-TPU; the semantics specification).
 
     Returns:
         ``[batch, num_queries, num_heads, head_channels]`` output tensor.
@@ -195,7 +221,7 @@ def multiscale_deformable_attention(
     if not jnp.issubdtype(img_shapes.dtype, jnp.integer):
         img_shapes = img_shapes.astype(jnp.int32)
     _check_inputs(img, img_shapes, sampling_points, attention_weights)
-    impl = _resolve_impl(impl)
+    impl = _resolve_impl(impl, img_shapes, img.dtype)
     return _msda(
         img,
         img_shapes,

@@ -1,28 +1,40 @@
 """Pallas TPU backward kernel for multiscale deformable attention.
 
 Mirrors the reference backward design (/root/reference/src/msda_triton/
-kernels.py:395-553): the forward bilinear sampling is *rematerialized*
-in-kernel (no saved activations, kernels.py:421), then the three input
-gradients are produced:
+kernels.py:395-553): the forward's interpolation structure is
+*rematerialized* in-kernel (no saved activations, kernels.py:421), then the
+three input gradients are produced:
 
-  * ``attention_weights_grad[k] = <out_grad, samples[k]>``  (kernels.py:492-503)
+  * ``attention_weights_grad[p] = <out_grad, unweighted sample_p>``
+                                                     (kernels.py:492-503)
   * ``sampling_points_grad`` via the analytic bilinear derivative with the
-    align_corners-dependent coordinate scale                (kernels.py:509-537)
+    align_corners-dependent coordinate scale         (kernels.py:509-537)
   * ``img_grad`` — where the reference needs four cross-program
-    ``tl.atomic_add`` scatters (kernels.py:549-553), the TPU formulation is
-    a *matmul*: for each level,
+    ``tl.atomic_add`` scatters (kernels.py:549-553), here it is the MXU
+    transpose of the forward contraction,
 
-        img_grad[x, (c, y)] = sum_k V[x, k] * G[(c, y), k],
-        G[(c, y), k] = wt_k * Wy[(c, y), k] * out_grad[c, n(k)]
+        img_grad[i, c] += sum_q A[i, q] * out_grad[q, c],
 
-    i.e. the transpose of the forward's stage-1 contraction, computed on the
-    MXU with the query axis as the (large) contraction dimension, and
-    accumulated in VMEM across the sequential inner grid steps — no atomics
-    needed because TPU grid steps on a core execute in order.
+    accumulated in VMEM across the *sequential* query-block grid steps —
+    no atomics needed because TPU grid steps on a core execute in order.
 
-Data layout follows pallas_fwd.py's transposed scheme: query-points on the
-lane axis, c-major ([w, C*h]) level images, masks built in
-[extent, P, n_block] space and lane-merged with free (inner-128) reshapes.
+The per-point gradients use one shared MXU product
+``G[i, q] = sum_c E[i, c] * out_grad[q, c]`` and then contract G against
+the 2-sparse row factors of each point on the VPU:
+
+    RowY[y, q]  = sum_x Vx[x, q]  * G[(y, x), q]     (x-lerp row sums)
+    RowYd[y, q] = sum_x Vx'[x, q] * G[(y, x), q]     (x-derivative row sums)
+    wg_p = sum_y Wy[y, q]  * RowY[y, q]
+    gx_p = xscale * w_p * sum_y Wy[y, q]  * RowYd[y, q]
+    gy_p = yscale * w_p * sum_y Wy'[y, q] * RowY[y, q]
+
+which is exactly the analytic derivative of the separable bilinear lerp.
+The segmented x-reductions are free-form reshapes because levels are laid
+out at sublane-padded pitch (see pallas_fwd.level_layout).
+
+Precision follows the forward: f32 inputs use exact two-way bf16 splits of
+E / A / out_grad with 3 MXU passes per contraction (~2^-17 relative);
+bf16 inputs use single passes.
 """
 
 from __future__ import annotations
@@ -35,26 +47,43 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import pallas_fwd as _pf
-from .pallas_fwd import _level_mats, _round_up, N_BLOCK, make_sublevels
+from .pallas_fwd import (
+    INTERPRET,
+    N_BLOCK,
+    _round_up,
+    assemble_a_parts,
+    build_a_block,
+    build_e_matrix,
+    level_layout,
+    make_sparse_factor,
+    resolve_n_split,
+    split_bf16,
+    split_bf16_xla,
+)
 
 __all__ = ["pallas_msda_bwd"]
 
+_I32 = jnp.int32
+_F32 = jnp.float32
 
-def _prepare_raw_geometry(
-    sampling_points, shapes, align_corners, sublevels,
-    compute_dtype=jnp.float32,
-):
-    """Elementwise prep: unclamped floor corners, fractional offsets, and
-    the row-band assignment mask (see pallas_fwd.make_sublevels).
 
-    Returns (x0, y0 int32 [band-local]; dx, dy, bmask compute_dtype), each
-    [B, H, S, P, N].
+def prepare_geometry_bwd(sampling_points, attention_weights, shapes, padding_mode, align_corners):
+    """Backward geometry prep: like pallas_fwd.prepare_geometry but with the
+    attention weight kept separate (the weights grad needs unweighted
+    samples, kernels.py:492-503) and the OOB masks exposed (the derivative
+    factors are +/- masks, kernels.py:509-537).
+
+    Returns 13 arrays, each [B, H, L, P, N]:
+        x0c, x1c, y0c, y1c      int32 clamped corners
+        vx0, vx1                masked x-lerp weights (no attention weight)
+        uy0, uy1                masked y-lerp weights (no attention weight)
+        wt                      attention weight
+        mx0, mx1, my0, my1      OOB masks (ones in border mode)
     """
-    B, N, H, L, P, _ = sampling_points.shape
-    pts = sampling_points.astype(compute_dtype)
-    hs = jnp.asarray(shapes[:, 0], compute_dtype)[None, None, None, :, None]
-    ws = jnp.asarray(shapes[:, 1], compute_dtype)[None, None, None, :, None]
+    pts = sampling_points.astype(_F32)
+    wts = attention_weights.astype(_F32)
+    hs = jnp.asarray(shapes[:, 0], _F32)[None, None, None, :, None]
+    ws = jnp.asarray(shapes[:, 1], _F32)[None, None, None, :, None]
     x = pts[..., 0]
     y = pts[..., 1]
     if align_corners:
@@ -65,318 +94,293 @@ def _prepare_raw_geometry(
         y = y * hs - 0.5
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
+    dx = (x - x0f).astype(_F32)
+    dy = (y - y0f).astype(_F32)
+    x0 = x0f.astype(_I32)
+    y0 = y0f.astype(_I32)
+    wi = ws.astype(_I32)
+    hi = hs.astype(_I32)
 
-    def to_kernel_layout(t):
-        return t.transpose(0, 2, 3, 4, 1)  # [B, H, L, P, N]
+    shp = x0.shape
+    if padding_mode == "zeros":
+        mx0 = ((x0 >= 0) & (x0 < wi)).astype(_F32)
+        mx1 = ((x0 + 1 >= 0) & (x0 + 1 < wi)).astype(_F32)
+        my0 = ((y0 >= 0) & (y0 < hi)).astype(_F32)
+        my1 = ((y0 + 1 >= 0) & (y0 + 1 < hi)).astype(_F32)
+    else:
+        mx0 = mx1 = my0 = my1 = jnp.ones(shp, _F32)
 
-    x0 = to_kernel_layout(x0f.astype(jnp.int32))
-    y0 = to_kernel_layout(y0f.astype(jnp.int32))
-    dx = to_kernel_layout(x - x0f)
-    dy = to_kernel_layout(y - y0f)
+    vx0 = (1.0 - dx) * mx0
+    vx1 = dx * mx1
+    uy0 = (1.0 - dy) * my0
+    uy1 = dy * my1
 
-    xs0, ys0, dxs, dys, masks = [], [], [], [], []
-    one = jnp.ones(x0.shape[:2] + x0.shape[3:], compute_dtype)
-    for lvl, off, band_h, _, level_h in sublevels:
-        y0_l = y0[:, :, lvl]
-        y0c = jnp.clip(y0_l, 0, level_h - 1)
-        if level_h <= band_h:
-            mask = one
-        else:
-            upper = off + (band_h - 1) if off + band_h < level_h else level_h
-            mask = ((y0c >= off) & (y0c < upper)).astype(compute_dtype)
-        xs0.append(x0[:, :, lvl])
-        ys0.append(y0_l - off)
-        dxs.append(dx[:, :, lvl])
-        dys.append(dy[:, :, lvl])
-        masks.append(mask)
+    zero = jnp.zeros((), _I32)
+    x0c = jnp.clip(x0, zero, wi - 1)
+    x1c = jnp.clip(x0 + 1, zero, wi - 1)
+    y0c = jnp.clip(y0, zero, hi - 1)
+    y1c = jnp.clip(y0 + 1, zero, hi - 1)
 
-    stack = lambda ts: jnp.stack(ts, axis=2)  # noqa: E731
-    return stack(xs0), stack(ys0), stack(dxs), stack(dys), stack(masks)
+    wt = jnp.broadcast_to(wts, shp)
+
+    def tokl(t):
+        return t.transpose(0, 2, 3, 4, 1)  # [B,N,H,L,P] -> [B,H,L,P,N]
+
+    return tuple(map(tokl, (
+        x0c, x1c, y0c, y1c, vx0, vx1, uy0, uy1, wt, mx0, mx1, my0, my1
+    )))
 
 
 def _bwd_kernel(
-    # inputs
-    x0_ref, y0_ref, dx_ref, dy_ref, wt_ref, bm_ref, og_ref,
-    *emat_and_outs,
-    # static
-    level_shapes, P, C, precision, padding_mode, align_corners,
+    x0c_ref, x1c_ref, y0c_ref, y1c_ref, vx0_ref, vx1_ref, uy0_ref, uy1_ref,
+    wt_ref, mx0_ref, mx1_ref, my0_ref, my1_ref,
+    og_ref, ecat_ref,
+    wg_ref, gx_ref, gy_ref, ig_ref,
+    *, level_dims, level_offs, pitches, ipad, C, nblk, n_split,
+    align_corners, exact,
 ):
-    L = len(level_shapes)
-    emat_refs = emat_and_outs[:L]
-    wg_ref = emat_and_outs[L]        # [1, 1, L, P, nblk] attention-weights grad
-    gx_ref = emat_and_outs[L + 1]    # [1, 1, L, P, nblk] x-coordinate grad
-    gy_ref = emat_and_outs[L + 2]    # [1, 1, L, P, nblk] y-coordinate grad
-    ig_refs = emat_and_outs[L + 3:]  # per-level [1, 1, w, C*h] img grads
-
-    nblk = N_BLOCK
-    kblk = nblk * P
+    L = len(level_dims)
+    P = wt_ref.shape[3]
     nb = pl.program_id(1)
+    hi_prec = jax.lax.Precision.HIGHEST
 
-    og_nT = og_ref[0, 0, :, :].astype(jnp.float32)   # [C, nblk]
-    # queries -> points on lanes (k = p * nblk + n, matching the V build)
-    og_kT = jnp.tile(og_nT, (1, P))                  # [C, kblk]
-
-    zeros_mode = padding_mode == "zeros"
-
-    for lvl in range(L):
-        h, w, level_h = level_shapes[lvl]
-        x0 = x0_ref[0, 0, lvl][None]   # [1, P, nblk] int32 unclamped floor
-        y0 = y0_ref[0, 0, lvl][None]
-        dx = dx_ref[0, 0, lvl][None]
-        dy = dy_ref[0, 0, lvl][None]
-        wt = wt_ref[0, 0, lvl][None]   # attention weight
-        bm = bm_ref[0, 0, lvl][None]   # row-band assignment mask
-
-        if zeros_mode:
-            mx0 = ((x0 >= 0) & (x0 < w)).astype(jnp.float32)
-            mx1 = ((x0 + 1 >= 0) & (x0 + 1 < w)).astype(jnp.float32)
-            # y-range masks use band-local coords; valid because each point
-            # is assigned (via bm) to the band containing both its rows
-            my0 = bm * ((y0 >= 0) & (y0 < h)).astype(jnp.float32)
-            my1 = bm * ((y0 + 1 >= 0) & (y0 + 1 < h)).astype(jnp.float32)
-        else:
-            mx0 = mx1 = jnp.ones((1, P, nblk), jnp.float32)
-            my0 = my1 = bm
-
-        x0c = jnp.clip(x0, 0, w - 1)
-        x1c = jnp.clip(x0 + 1, 0, w - 1)
-        xi = jax.lax.broadcasted_iota(jnp.int32, (w, P, nblk), 0)
-        oh_x0 = xi == x0c
-        oh_x1 = xi == x1c
-        # forward x-lerp columns and their x-derivative columns
-        VT = (
-            jnp.where(oh_x0, (1.0 - dx) * mx0, 0.0)
-            + jnp.where(oh_x1, dx * mx1, 0.0)
-        ).reshape(w, kblk)
-        VpT = (
-            jnp.where(oh_x1, mx1, 0.0) - jnp.where(oh_x0, mx0, 0.0)
-        ).reshape(w, kblk)
-
-        E = emat_refs[lvl][0, 0]       # [w, C*h]
-        dn0 = (((0,), (0,)), ((), ()))
-        TT = jax.lax.dot_general(
-            E, VT, dn0, preferred_element_type=jnp.float32, precision=precision
-        )  # [C*h, kblk]  (x-lerped rows, remat of fwd stage 1)
-        TpT = jax.lax.dot_general(
-            E, VpT, dn0, preferred_element_type=jnp.float32, precision=precision
-        )  # [C*h, kblk]  d/dx rows
-
-        y0c = jnp.clip(y0, 0, h - 1)
-        y1c = jnp.clip(y0 + 1, 0, h - 1)
-        yi = jax.lax.broadcasted_iota(jnp.int32, (h, P, nblk), 0)
-        oh_y0 = yi == y0c
-        oh_y1 = yi == y1c
-        # y-lerp (no attention weight), its y-derivative, and the
-        # attention-weighted variant used for img_grad
-        Wy2 = (
-            jnp.where(oh_y0, (1.0 - dy) * my0, 0.0)
-            + jnp.where(oh_y1, dy * my1, 0.0)
+    og = og_ref[0, 0].astype(_F32)              # [nblk, C]
+    dn_c = (((1,), (1,)), ((), ()))
+    if exact:
+        # interpreter/debug path: f32 operands, highest-precision dots
+        G = jax.lax.dot_general(
+            ecat_ref[0, 0], og, dn_c, precision=hi_prec,
+            preferred_element_type=_F32,
         )
-        Wyp2 = jnp.where(oh_y1, my1, 0.0) - jnp.where(oh_y0, my0, 0.0)
-        Wyw2 = Wy2 * wt
-        WyT = jnp.tile(Wy2.reshape(h, kblk), (C, 1))     # [C*h, kblk]
-        WypT = jnp.tile(Wyp2.reshape(h, kblk), (C, 1))
-        WywT = jnp.tile(Wyw2.reshape(h, kblk), (C, 1))
-
-        # row reducer R[(c, y), c'] = (c == c')
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (h * C, C), 0)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (h * C, C), 1)
-        R = (rowi // h == cidx).astype(jnp.float32)
-
-        def row_reduce(ZT):
-            return jax.lax.dot_general(
-                R, ZT, dn0, preferred_element_type=jnp.float32,
-                precision=precision,
-            )  # [C, kblk]
-
-        samplesT = row_reduce(TT * WyT)   # remat of fwd samples (unweighted)
-        d_dyT = row_reduce(TT * WypT)     # d(sample)/dy_pix
-        d_dxT = row_reduce(TpT * WyT)     # d(sample)/dx_pix
-
-        # attention-weights grad: <og, samples>_C  -> [P, nblk]
-        wg_ref[0, 0, lvl] = jnp.sum(
-            (samplesT * og_kT).reshape(C, P, nblk), axis=0
+    else:
+        og_parts = split_bf16(og, n_split)
+        # G[i, q] = sum_c E[i, c] * og[q, c] — a single dot stacked along
+        # the contracted C axis with all n^2 (E_i, og_j) part pairs
+        # (ecat column slab (i, j) holds E_i; see _pallas_bwd).  One dot,
+        # not a sum of dots: see pallas_fwd.assemble_a_parts.
+        og_cat = jnp.concatenate(
+            [og_parts[j] for _ in range(n_split) for j in range(n_split)],
+            axis=1,
+        )  # [nblk, n_split^2*C]
+        G = jax.lax.dot_general(
+            ecat_ref[0, 0], og_cat, dn_c, preferred_element_type=_F32
         )
 
-        # sampling-point grads (coordinate scale from unnormalization,
-        # kernels.py:509-515 — the scale is the *level* extent, not the
-        # row band's); the attention weight multiplies in (kernels.py:518-524)
+    x0c = x0c_ref[0, 0]
+    x1c = x1c_ref[0, 0]
+    y0c = y0c_ref[0, 0]
+    y1c = y1c_ref[0, 0]
+    vx0 = vx0_ref[0, 0]
+    vx1 = vx1_ref[0, 0]
+    uy0 = uy0_ref[0, 0]
+    uy1 = uy1_ref[0, 0]
+    wt = wt_ref[0, 0]
+    mx0 = mx0_ref[0, 0]
+    mx1 = mx1_ref[0, 0]
+    my0 = my0_ref[0, 0]
+    my1 = my1_ref[0, 0]
+
+    for li, (h, w) in enumerate(level_dims):
+        w8 = pitches[li]
+        off = level_offs[li]
+        Gl = G[off:off + h * w8, :].reshape(h, w8, nblk)
         if align_corners:
-            xsc, ysc = float(w - 1), float(level_h - 1)
+            xsc = np.float32(w - 1)
+            ysc = np.float32(h - 1)
         else:
-            xsc, ysc = float(w), float(level_h)
-        wt2 = wt[0]  # [P, nblk]
-        gx_ref[0, 0, lvl] = xsc * wt2 * jnp.sum(
-            (d_dxT * og_kT).reshape(C, P, nblk), axis=0
+            xsc = np.float32(w)
+            ysc = np.float32(h)
+        for p in range(P):
+            vx = make_sparse_factor(
+                x0c[li, p], x1c[li, p], vx0[li, p], vx1[li, p], w, w8, nblk
+            )
+            vxd = make_sparse_factor(
+                x0c[li, p], x1c[li, p], -mx0[li, p], mx1[li, p], w, w8, nblk
+            )
+            wy = make_sparse_factor(
+                y0c[li, p], y1c[li, p], uy0[li, p], uy1[li, p], h, h, nblk
+            )
+            wyd = make_sparse_factor(
+                y0c[li, p], y1c[li, p], -my0[li, p], my1[li, p], h, h, nblk
+            )
+            rowy = jnp.sum(Gl * vx[None], axis=1)    # [h, nblk]
+            rowyd = jnp.sum(Gl * vxd[None], axis=1)  # [h, nblk]
+            wg_ref[0, 0, li, p] = jnp.sum(wy * rowy, axis=0)
+            wtp = wt[li, p]
+            gx_ref[0, 0, li, p] = xsc * wtp * jnp.sum(wy * rowyd, axis=0)
+            gy_ref[0, 0, li, p] = ysc * wtp * jnp.sum(wyd * rowy, axis=0)
+
+    # img grad: rematerialize the folded A and contract over the query block
+    blocks = build_a_block(
+        x0c, x1c, y0c, y1c, vx0, vx1,
+        jnp.stack([uy0[:, p] * wt[:, p] for p in range(P)], 1),
+        jnp.stack([uy1[:, p] * wt[:, p] for p in range(P)], 1),
+        level_dims=level_dims, pitches=pitches, nblk=nblk,
+    )
+    dn_q = (((1,), (0,)), ((), ()))
+    if exact:
+        a_cat = assemble_a_parts(
+            blocks, ipad=ipad, nblk=nblk, n_split=1, exact=True
         )
-        gy_ref[0, 0, lvl] = ysc * wt2 * jnp.sum(
-            (d_dyT * og_kT).reshape(C, P, nblk), axis=0
+        ig = jax.lax.dot_general(
+            a_cat, og, dn_q, precision=hi_prec,
+            preferred_element_type=_F32,
         )
+    else:
+        # A parts stacked along the contracted query axis (columns), og
+        # parts column-stacked then row-replicated — the same complete
+        # split-product trick as the forward (pallas_fwd.build_e_wide),
+        # transposed: out column block k = (sum_s A_s) @ og_k.
+        a_parts = [split_bf16(blk, n_split) for blk in blocks]
+        tail = ipad - sum(b.shape[0] for b in blocks)
+        cols = []
+        for k in range(n_split):
+            part = jnp.concatenate([pb[k] for pb in a_parts], axis=0)
+            if tail:
+                part = jnp.pad(part, [(0, tail), (0, 0)])
+            cols.append(part)
+        a_catq = jnp.concatenate(cols, axis=1)  # [ipad, n_split*nblk]
+        og_cols = jnp.concatenate(og_parts, axis=1)  # [nblk, n_split*C]
+        og_wide = jnp.concatenate(
+            [og_cols] * n_split, axis=0
+        )  # [n_split*nblk, n_split*C]
+        igw = jax.lax.dot_general(
+            a_catq, og_wide, dn_q, preferred_element_type=_F32
+        )  # [ipad, n_split*C]
+        ig = igw[:, :C]
+        for k in range(1, n_split):
+            ig = ig + igw[:, k * C:(k + 1) * C]
 
-        # img grad: V @ G^T with G = Wyw * og_lane, accumulated across the
-        # sequential query-block grid steps (the atomics-free scatter-add)
-        og_laneT = jax.lax.dot_general(
-            R, og_kT,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # [C*h, kblk]: og value broadcast over the y rows of its channel
-        G = WywT * og_laneT
-        ig_block = jax.lax.dot_general(
-            VT, G,
-            (((1,), (1,)), ((), ())),   # contract kblk -> [w, C*h]
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+    @pl.when(nb == 0)
+    def _():
+        ig_ref[0, 0] = ig
 
-        @pl.when(nb == 0)
-        def _():
-            ig_refs[lvl][0, 0, :, :] = ig_block
-
-        @pl.when(nb != 0)
-        def _():
-            ig_refs[lvl][0, 0, :, :] = ig_refs[lvl][0, 0, :, :] + ig_block
-
-
-# y-extent cap per band for the backward (rows); the backward holds more
-# concurrent [band*C, kblk] buffers than the forward, so it uses smaller
-# bands to stay within VMEM (22.8 MB > 16 MB without splitting, measured).
-BWD_ROW_CHUNK = 16
+    @pl.when(nb != 0)
+    def _():
+        ig_ref[0, 0] = ig_ref[0, 0] + ig
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "padding_mode", "align_corners", "shapes_tuple", "precision",
+        "shapes_tuple", "padding_mode", "align_corners", "n_split", "interpret",
     ),
 )
 def _pallas_bwd(
     img, sampling_points, attention_weights, out_grad,
-    *, shapes_tuple, padding_mode, align_corners, precision,
+    *, shapes_tuple, padding_mode, align_corners, n_split, interpret,
 ):
     B, I, H, C = img.shape  # noqa: E741
     _, N, _, L, P, _ = sampling_points.shape
     shapes = np.asarray(shapes_tuple, np.int64)
-    sublevels = make_sublevels(shapes, BWD_ROW_CHUNK)
-    S = len(sublevels)
+    level_offs, pitches, ipad = level_layout(shapes)
+    level_dims = tuple((int(h), int(w)) for h, w in shapes)
 
-    x0, y0, dx, dy, bm = _prepare_raw_geometry(
-        sampling_points, shapes, align_corners, sublevels
+    geom = prepare_geometry_bwd(
+        sampling_points, attention_weights, shapes, padding_mode,
+        align_corners,
     )
-    wt_l = attention_weights.astype(jnp.float32).transpose(0, 2, 3, 4, 1)
-    wt = jnp.stack([wt_l[:, :, sub[0]] for sub in sublevels], axis=2)
-    og = out_grad.astype(jnp.float32).transpose(0, 2, 3, 1)  # [B, H, C, N]
-
     n_pad = _round_up(N, N_BLOCK)
     if n_pad != N:
-        pad5 = [(0, 0)] * 4 + [(0, n_pad - N)]
-        x0 = jnp.pad(x0, pad5)
-        y0 = jnp.pad(y0, pad5)
-        dx = jnp.pad(dx, pad5)
-        dy = jnp.pad(dy, pad5)
-        wt = jnp.pad(wt, pad5)
-        bm = jnp.pad(bm, pad5)
-        og = jnp.pad(og, [(0, 0), (0, 0), (0, 0), (0, n_pad - N)])
+        pad = [(0, 0)] * 4 + [(0, n_pad - N)]
+        geom = tuple(jnp.pad(t, pad) for t in geom)
 
-    emats = _level_mats(img.astype(jnp.float32), shapes, sublevels)
+    og = out_grad.astype(_F32).transpose(0, 2, 1, 3)  # [B, H, N, C]
+    if n_pad != N:
+        og = jnp.pad(og, [(0, 0), (0, 0), (0, n_pad - N), (0, 0)])
+
+    e = build_e_matrix(img, shapes)
+    exact = bool(interpret)
+    if exact:
+        e_cat = e  # exact f32 path (see _bwd_kernel)
+        ecdim = C
+    else:
+        e_parts = split_bf16_xla(e, n_split)
+        # column slab (i, j) holds E_i, paired with og_j by the kernel's
+        # og_cat — all n^2 part pairs of the G contraction in one dot
+        e_cat = jnp.concatenate(
+            [e_parts[i] for i in range(n_split) for _ in range(n_split)],
+            axis=3,
+        )
+        ecdim = n_split * n_split * C
+
     grid = (B * H, n_pad // N_BLOCK)
 
     def pt_spec():
         return pl.BlockSpec(
-            (1, 1, S, P, N_BLOCK),
+            (1, 1, L, P, N_BLOCK),
             lambda bh, nb: (bh // H, bh % H, 0, 0, nb),
             memory_space=pltpu.VMEM,
         )
 
     def og_spec():
         return pl.BlockSpec(
-            (1, 1, C, N_BLOCK),
-            lambda bh, nb: (bh // H, bh % H, 0, nb),
+            (1, 1, N_BLOCK, C),
+            lambda bh, nb: (bh // H, bh % H, nb, 0),
             memory_space=pltpu.VMEM,
         )
 
-    def emat_spec(sub):
-        _, _, band_h, w, _ = sublevels[sub]
+    def e_spec():
         return pl.BlockSpec(
-            (1, 1, w, band_h * C),
+            (1, 1, ipad, ecdim),
             lambda bh, nb: (bh // H, bh % H, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
-    out_shapes = (
-        [jax.ShapeDtypeStruct((B, H, S, P, n_pad), jnp.float32)] * 3
-        + [
-            jax.ShapeDtypeStruct(
-                (B, H, sub[3], sub[2] * C), jnp.float32
-            )
-            for sub in sublevels
-        ]
-    )
-    out_specs = [pt_spec() for _ in range(3)] + [emat_spec(s_) for s_ in range(S)]
+    def ig_spec():
+        return pl.BlockSpec(
+            (1, 1, ipad, C),
+            lambda bh, nb: (bh // H, bh % H, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     kernel = functools.partial(
         _bwd_kernel,
-        level_shapes=tuple((sub[2], sub[3], sub[4]) for sub in sublevels),
-        P=P,
+        level_dims=level_dims,
+        level_offs=tuple(level_offs),
+        pitches=tuple(pitches),
+        ipad=ipad,
         C=C,
-        precision=precision,
-        padding_mode=padding_mode,
+        nblk=N_BLOCK,
+        n_split=n_split,
         align_corners=bool(align_corners),
+        exact=exact,
     )
 
-    outs = pl.pallas_call(
+    wg, gx, gy, ig = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pt_spec() for _ in range(6)] + [og_spec()]
-        + [emat_spec(s_) for s_ in range(S)],
-        out_specs=out_specs,
-        out_shape=out_shapes,
+        in_specs=[pt_spec() for _ in range(13)] + [og_spec(), e_spec()],
+        out_specs=[pt_spec(), pt_spec(), pt_spec(), ig_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, L, P, n_pad), _F32),
+            jax.ShapeDtypeStruct((B, H, L, P, n_pad), _F32),
+            jax.ShapeDtypeStruct((B, H, L, P, n_pad), _F32),
+            jax.ShapeDtypeStruct((B, H, ipad, C), _F32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=_pf.INTERPRET,
-    )(x0, y0, dx, dy, wt, bm, og, *emats)
+        interpret=interpret,
+    )(*geom, og, e_cat)
 
-    wg_s, gx_s, gy_s = outs[0], outs[1], outs[2]
-    ig_subs = outs[3:]
+    def fold_pts(t):  # [B, H, L, P, n_pad] -> [B, N, H, L, P]
+        return t[..., :N].transpose(0, 4, 1, 2, 3)
 
-    # fold sub-levels back to levels (each point contributed in exactly one
-    # band, so summing bands of the same level recovers the level grad)
-    def fold(t):  # [B, H, S, P, n_pad] -> [B, N, H, L, P]
-        per_level = []
-        for lvl in range(L):
-            idxs = [i for i, sub in enumerate(sublevels) if sub[0] == lvl]
-            acc = t[:, :, idxs[0]]
-            for i in idxs[1:]:
-                acc = acc + t[:, :, i]
-            per_level.append(acc)
-        lt = jnp.stack(per_level, axis=2)  # [B, H, L, P, n_pad]
-        return lt[..., :N].transpose(0, 4, 1, 2, 3)
+    wg = fold_pts(wg)
+    pts_grad = jnp.stack([fold_pts(gx), fold_pts(gy)], axis=-1)
 
-    wg = fold(wg_s)
-    pts_grad = jnp.stack([fold(gx_s), fold(gy_s)], axis=-1)
-
-    # assemble img grad [B, I, H, C] from per-band [B, H, w, C*hs]
-    # (c-major lanes); overlapping band rows add
+    # reassemble img grad from the padded-pitch layout
     parts = []
-    for lvl in range(L):
-        h, w = int(shapes[lvl, 0]), int(shapes[lvl, 1])
-        acc = jnp.zeros((B, H, w, C, h), jnp.float32)
-        for i, sub in enumerate(sublevels):
-            if sub[0] != lvl:
-                continue
-            _, off, band_h, _, _ = sub
-            g = ig_subs[i].reshape(B, H, w, C, band_h)
-            acc = jax.lax.dynamic_update_slice(
-                acc,
-                jax.lax.dynamic_slice(
-                    acc, (0, 0, 0, 0, off), (B, H, w, C, band_h)
-                )
-                + g,
-                (0, 0, 0, 0, off),
-            )
-        parts.append(acc.transpose(0, 4, 2, 1, 3).reshape(B, h * w, H, C))
-    img_grad = jnp.concatenate(parts, axis=1)
+    for li, (h, w) in enumerate(level_dims):
+        w8 = pitches[li]
+        off = level_offs[li]
+        g = jax.lax.slice_in_dim(ig, off, off + h * w8, axis=2)
+        if w8 != w:
+            g = g.reshape(B, H, h, w8, C)[:, :, :, :w, :].reshape(B, H, h * w, C)
+        parts.append(g)
+    img_grad = jnp.concatenate(parts, axis=2).transpose(0, 2, 1, 3)
 
     return (
         img_grad.astype(img.dtype),
@@ -388,22 +392,23 @@ def _pallas_bwd(
 def pallas_msda_bwd(
     img, img_shapes, sampling_points, attention_weights, out_grad,
     padding_mode: str = "border", align_corners: bool = False,
-    precision=None,
+    precision=None, interpret: bool | None = None,
 ):
     """Pallas TPU backward: returns (img_grad, sampling_points_grad,
-    attention_weights_grad) — the reference backward triple (kernels.py:592)."""
+    attention_weights_grad) — the reference backward triple
+    (kernels.py:592)."""
     shapes = np.asarray(jax.device_get(img_shapes)).astype(np.int64)
     shapes_tuple = tuple((int(h), int(w)) for h, w in shapes)
-    if precision is None:
-        precision = (
-            jax.lax.Precision.DEFAULT
-            if img.dtype == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST
+    if interpret is None:
+        interpret = INTERPRET
+    # x64 disabled for the trace — see pallas_fwd (Mosaic 64-bit convert
+    # helper recursion); all kernel I/O is explicit f32/int32 regardless.
+    with jax.enable_x64(False):
+        return _pallas_bwd(
+            img, sampling_points, attention_weights, out_grad,
+            shapes_tuple=shapes_tuple,
+            padding_mode=padding_mode,
+            align_corners=bool(align_corners),
+            n_split=resolve_n_split(img.dtype, precision),
+            interpret=bool(interpret),
         )
-    return _pallas_bwd(
-        img, sampling_points, attention_weights, out_grad,
-        shapes_tuple=shapes_tuple,
-        padding_mode=padding_mode,
-        align_corners=bool(align_corners),
-        precision=precision,
-    )

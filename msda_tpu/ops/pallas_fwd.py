@@ -1,50 +1,50 @@
 """Pallas TPU forward kernel for multiscale deformable attention.
 
-Design rationale (TPU-first, not a Triton translation)
-------------------------------------------------------
-The reference Triton kernel (/root/reference/src/msda_triton/kernels.py:266-348)
-is built around per-lane random loads (``tl.load(ptr + offsets)``,
-kernels.py:207-210) — a primitive TPUs do not have: Mosaic's only dynamic
-gather works within a single 8x128 vector register tile, and XLA's general
-gather runs at a small fraction of HBM bandwidth (~58 GB/s effective on
-v5e, measured).  Instead of emulating the gather, this kernel reformulates
-bilinear sampling as *matrix products against the level image*, which is
-where a TPU is fast (MXU):
+Design rationale (TPU-first; measured on this v5e — none of this mirrors the
+reference Triton kernel, whose per-lane random loads at
+/root/reference/src/msda_triton/kernels.py:207-210 have no TPU equivalent)
+------------------------------------------------------------------------
 
-For one level with image ``E[x, (c, y)]`` (c-major, resident in VMEM) and a
-block of query-points k with x-corner positions (x0, x1) and lerp weights
-(vx0, vx1):
+MSDA forward is ``out[q, c] = sum_{l,p} w * bilerp(img_l, pt)``.  On TPU the
+only fast data-dependent primitive is the MXU, so the whole op is recast as
 
-    stage 1 (MXU):   T[(c, y), k] = sum_x E[x, (c, y)] * V[x, k]
-                     where V[:, k] is 2-sparse: vx0 at x0, vx1 at x1
-                     (built on the fly from an iota comparison)
-    stage 2:         out[c, k]    = sum_y W[(c, y), k] * T[(c, y), k]
-                     reduced on the MXU by the constant 0/1 matrix
-                     R[(c, y), c'] = (c == c'), with W[:, k] 2-sparse in y:
-                     the y-lerp weights with the attention weight folded in.
+    out[q, :] = A[:, q]^T @ E            (one contraction per query block)
 
-Bilinear interpolation is separable, so the 2-sparse V and W columns realize
-exactly the 4-corner lerp of grid_sample, including border clamping (via
-clamped corner indices) and zeros padding (via masked lerp weights) — the
-same semantics as kernels.py:120-252.
+where ``E = img[b, :, h, :]`` is the full flattened pyramid slice
+``[I, C]`` resident in VMEM, and ``A[i, q]`` is the *folded interpolation
+matrix*: for each query q, its L*P sampling points contribute their four
+bilinear corner coefficients (attention weight folded in) at their flat
+pyramid rows.  This folds the level loop, the point loop, the 4-corner lerp
+and the attention-weighted sum into a single MXU contraction with K = I —
+the one matmul shape this chip runs efficiently (small-K formulations such
+as per-level separable stages measure 5-20x worse per flop here).
 
-Layout doctrine (measured on v5e): query-points live on the *lane* axis
-everywhere (a "transposed" scheme).  Per-point scalars arrive as
-[L, P, n_block] blocks, masks are built as [w, P, n_block] /
-[h, P, n_block] full-width vector ops, and the only reshapes are
-lane-splits/merges whose innermost factor is exactly 128 (free on TPU).
-Row-major variants of these builds run at ~1/8th utilization or fail to
-lower ("unsupported shape cast").
+A is built on the VPU without any gather/scatter: per (level, point) the
+2-sparse row factors are materialized by iota comparison along the *small*
+axes (h and w), then combined into the [h*w, 128] level slice with a
+sublane ``repeat`` (y-major) times a ``tile`` (x-minor) — an outer product
+of 2-sparse vectors, i.e. exactly the 4 bilinear corners.  Border clamping
+and zeros-mode masking are pre-folded into the per-point scalars at the
+XLA level (``prepare_geometry``), matching grid_sample semantics
+(reference kernels.py:120-252).
 
-Grid: ``(B*H, N_blocks)`` — each step owns one (batch, head) pyramid slice
-(kept in VMEM across the inner query-block axis) and one block of queries,
-the TPU analogue of the reference's ``[N, B, H]`` launch grid
-(kernels.py:365) with a real query-block dimension (the reference's TODO at
-kernels.py:22-23).
+Precision: the MXU is bf16-native.  f32 inputs use exact two-way bf16
+splits of both operands, contracted as ONE stacked dot whose output column
+blocks sum to the complete (A1+A2)@(E1+E2) product — ~2^-17 relative error,
+inside the reference fp32 test tolerance (rtol=1e-4/atol=1e-3,
+test_msda.py:15-27) and at the ~1e-5 parity bar.  ``precision="highest"``
+uses three-way splits (f32-complete); bf16 inputs use a single pass.  See
+``build_e_wide`` / ``split_bf16`` for the mechanics and the two compiler
+traps (XLA excess-precision folding; scratch store forwarding) that force
+this exact formulation.
 
-The geometry preprocessing (unnormalize, floor, clamp, masks — cheap
-elementwise work) happens at the XLA level in ``prepare_geometry`` where it
-fuses for free, so the kernel consumes ready int/float per-point tensors.
+Grid: ``(B*H, N_blocks)`` — each (batch, head) keeps its pyramid slice in
+VMEM across the inner query-block axis; query blocks stream.  The TPU
+analogue of the reference's ``[N, B, H]`` launch grid (kernels.py:365)
+with a real query-block dimension (the reference's TODO, kernels.py:22-23).
+
+All in-kernel constants are explicitly dtyped (int32/float32) so tracing is
+independent of the global ``jax_enable_x64`` flag.
 """
 
 from __future__ import annotations
@@ -57,75 +57,99 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_multiscale_deformable_attention", "prepare_geometry"]
+__all__ = [
+    "pallas_multiscale_deformable_attention",
+    "prepare_geometry",
+    "level_layout",
+    "build_e_matrix",
+]
 
-# query-block size; the free lane-split reshapes require exactly 128.
-N_BLOCK = 128
+# queries per grid step (lane width).
+N_BLOCK = 512
 
-# set True to run the kernels through the Pallas interpreter (any backend);
-# used by the CPU test suite.
+# Module default for interpreter mode; entry points take an explicit
+# ``interpret=`` argument (tests pass it instead of mutating this).
 INTERPRET = False
 
+_I32 = jnp.int32
+_F32 = jnp.float32
 
-def _round_up(x, m):
+
+def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def make_sublevels(shapes, row_chunk: int):
-    """Split tall pyramid levels into overlapping row bands.
+def level_layout(shapes):
+    """Row layout of the pyramid inside the E matrix.
 
-    A bilinear sample touches two consecutive rows, so bands of
-    ``row_chunk + 1`` rows at stride ``row_chunk`` cover every sample
-    exactly once (each point is *assigned* to the band containing its
-    floor row; the one-row overlap keeps its second row in the same band).
+    Each level is stored with a *padded row pitch* ``w8 = round_up(w, 8)``:
+    pixel (y, x) of level l lives at row ``offsets[l] + y*w8 + x``; columns
+    ``x >= w`` are zero.  The sublane-aligned pitch makes every in-kernel
+    ``[h*w8] -> [h, w8]`` reshape layout-compatible (free), which the
+    backward's segmented row reductions rely on.
 
-    This bounds the kernels' [band_rows * C, kblk] working buffers — the
-    VMEM knob (the analogue of the reference's num_warps autotune space,
-    kernels.py:259-265) — and is also what lets arbitrarily tall real-model
-    pyramids fit VMEM.  Total MXU work is unchanged: the y-extent splits,
-    the contraction and query axes do not.
-
-    Returns a list of (level_idx, y_offset, band_rows, width, level_height).
+    Returns (offsets [L], pitches [L], padded total rows); the total is
+    128-aligned for clean MXU K-tiles.
     """
-    subs = []
-    for lvl, (h, w) in enumerate(shapes):
+    offs, pitches = [], []
+    off = 0
+    for h, w in shapes:
+        w8 = _round_up(int(w), 8)
+        offs.append(off)
+        pitches.append(w8)
+        off += int(h) * w8
+    return offs, pitches, _round_up(max(off, 128), 128)
+
+
+def build_e_matrix(img, shapes):
+    """img [B, I, H, C] -> E [B, H, I_pad, C] f32, levels at padded pitch.
+
+    The value matrix for the kernel's contraction; rows outside any level
+    (pitch padding, inter-level gaps, tail) are zero so garbage in the
+    matching A rows cannot contribute.
+    """
+    B, I, H, C = img.shape  # noqa: E741
+    offs, pitches, ipad = level_layout(shapes)
+    imgT = img.astype(_F32).transpose(0, 2, 1, 3)  # [B, H, I, C]
+    parts = []
+    start = 0
+    for li, (h, w) in enumerate(shapes):
         h, w = int(h), int(w)
-        if h <= row_chunk + 1:
-            subs.append((lvl, 0, h, w, h))
-            continue
-        off = 0
-        while off < h - 1:
-            hs = min(row_chunk + 1, h - off)
-            subs.append((lvl, off, hs, w, h))
-            off += row_chunk
-    return subs
+        w8 = pitches[li]
+        lvl = jax.lax.slice_in_dim(imgT, start, start + h * w, axis=2)
+        if w8 != w:
+            lvl = lvl.reshape(B, H, h, w, C)
+            lvl = jnp.pad(lvl, [(0, 0), (0, 0), (0, 0), (0, w8 - w), (0, 0)])
+            lvl = lvl.reshape(B, H, h * w8, C)
+        parts.append(lvl)
+        start += h * w
+    e = jnp.concatenate(parts, axis=2)
+    tail = ipad - e.shape[2]
+    if tail:
+        e = jnp.pad(e, [(0, 0), (0, 0), (0, tail), (0, 0)])
+    return e
 
 
 def prepare_geometry(
     sampling_points, attention_weights, shapes, padding_mode, align_corners,
-    sublevels,
-    compute_dtype=jnp.float32,
 ):
-    """Elementwise geometry prep at the XLA level.
+    """Elementwise geometry prep at the XLA level (fuses for free).
 
-    Returns per-point tensors, each [B, H, S, P, N] (query-last layout for
-    the kernel's lane-major scheme; S = number of sub-levels, see
-    ``make_sublevels``):
-        x0, y0            int32 floor corner (x unclamped; y in band-local
-                          coordinates, with each point's band selected by
-                          zeroing the weights of all other bands)
-        vx0, vx1          x-lerp weights with zeros-mask folded
-        wy0, wy1          y-lerp weights with zeros-mask, band mask, *and*
-                          attention weight folded
-    Mirrors the unnormalization / mask / clamp semantics of the reference
-    device helper (kernels.py:120-252).
+    Returns per-point tensors, each [B, H, L, P, N] (query-last for the
+    kernel's lane-major layout):
+        x0c, x1c, y0c, y1c   int32 clamped corner indices (border semantics,
+                             reference kernels.py:166-169)
+        vx0, vx1             x-lerp weights, zeros-mode OOB masks folded
+                             (kernels.py:156-162)
+        wy0, wy1             y-lerp weights with zeros-mask AND the
+                             attention weight folded in
     """
     B, N, H, L, P = attention_weights.shape
-    pts = sampling_points.astype(compute_dtype)
-    wts = attention_weights.astype(compute_dtype)
+    pts = sampling_points.astype(_F32)
+    wts = attention_weights.astype(_F32)
 
-    hs = jnp.asarray(shapes[:, 0], compute_dtype)[None, None, None, :, None]
-    ws = jnp.asarray(shapes[:, 1], compute_dtype)[None, None, None, :, None]
+    hs = jnp.asarray(shapes[:, 0], _F32)[None, None, None, :, None]
+    ws = jnp.asarray(shapes[:, 1], _F32)[None, None, None, :, None]
     x = pts[..., 0]
     y = pts[..., 1]
     if align_corners:
@@ -136,20 +160,20 @@ def prepare_geometry(
         y = y * hs - 0.5
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
-    dx = x - x0f
-    dy = y - y0f
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
+    dx = (x - x0f).astype(_F32)
+    dy = (y - y0f).astype(_F32)
+    x0 = x0f.astype(_I32)
+    y0 = y0f.astype(_I32)
+    wi = ws.astype(_I32)
+    hi = hs.astype(_I32)
 
-    one = jnp.ones((), compute_dtype)
     if padding_mode == "zeros":
-        wi = ws.astype(jnp.int32)
-        hi = hs.astype(jnp.int32)
-        mx0 = ((x0 >= 0) & (x0 < wi)).astype(compute_dtype)
-        mx1 = ((x0 + 1 >= 0) & (x0 + 1 < wi)).astype(compute_dtype)
-        my0 = ((y0 >= 0) & (y0 < hi)).astype(compute_dtype)
-        my1 = ((y0 + 1 >= 0) & (y0 + 1 < hi)).astype(compute_dtype)
+        mx0 = ((x0 >= 0) & (x0 < wi)).astype(_F32)
+        mx1 = ((x0 + 1 >= 0) & (x0 + 1 < wi)).astype(_F32)
+        my0 = ((y0 >= 0) & (y0 < hi)).astype(_F32)
+        my1 = ((y0 + 1 >= 0) & (y0 + 1 < hi)).astype(_F32)
     else:
+        one = jnp.ones((), _F32)
         mx0 = mx1 = my0 = my1 = one
 
     vx0 = (1.0 - dx) * mx0
@@ -157,237 +181,320 @@ def prepare_geometry(
     wy0 = (1.0 - dy) * my0 * wts
     wy1 = dy * my1 * wts
 
-    def to_kernel_layout(t):
-        return t.transpose(0, 2, 3, 4, 1)  # [B, N, H, L, P] -> [B, H, L, P, N]
+    zero = jnp.zeros((), _I32)
+    x0c = jnp.clip(x0, zero, wi - 1)
+    x1c = jnp.clip(x0 + 1, zero, wi - 1)
+    y0c = jnp.clip(y0, zero, hi - 1)
+    y1c = jnp.clip(y0 + 1, zero, hi - 1)
 
-    x0, y0, vx0, vx1, wy0, wy1 = map(
-        to_kernel_layout, (x0, y0, vx0, vx1, wy0, wy1)
+    def tokl(t):
+        return t.transpose(0, 2, 3, 4, 1)  # [B,N,H,L,P] -> [B,H,L,P,N]
+
+    return tuple(map(tokl, (x0c, x1c, y0c, y1c, vx0, vx1, wy0, wy1)))
+
+
+def _pad_queries(geom, n, n_pad):
+    """Pad the query axis; padded queries carry zero weights -> zero A cols."""
+    if n_pad == n:
+        return geom
+    pad = [(0, 0)] * 4 + [(0, n_pad - n)]
+    return tuple(jnp.pad(t, pad) for t in geom)
+
+
+def make_sparse_factor(idx0, idx1, v0, v1, extent, pitch, nblk):
+    """2-sparse [pitch, nblk] factor: v0 at row idx0, v1 at row idx1.
+
+    ``idx0``/``idx1`` are clamped to [0, extent), so pitch-padding rows
+    (>= extent) are never selected and stay zero.
+    """
+    ii = jax.lax.broadcasted_iota(_I32, (pitch, nblk), 0)
+    return jnp.where(ii == idx0[None], v0[None], 0.0) + jnp.where(
+        ii == idx1[None], v1[None], 0.0
     )
 
-    # expand levels into row bands: each point contributes only in the band
-    # containing its (clamped) floor row
-    xs0, ys0, vxs0, vxs1, wys0, wys1 = [], [], [], [], [], []
-    for lvl, off, band_h, _, level_h in sublevels:
-        x0_l = x0[:, :, lvl]
-        y0_l = y0[:, :, lvl]
-        y0c = jnp.clip(y0_l, 0, level_h - 1)
-        if level_h <= band_h:
-            mask = one
-        else:
-            upper = off + (band_h - 1) if off + band_h < level_h else level_h
-            mask = ((y0c >= off) & (y0c < upper)).astype(compute_dtype)
-        xs0.append(x0_l)
-        ys0.append(y0_l - off)
-        vxs0.append(vx0[:, :, lvl])
-        vxs1.append(vx1[:, :, lvl])
-        wys0.append(wy0[:, :, lvl] * mask)
-        wys1.append(wy1[:, :, lvl] * mask)
 
-    stack = lambda ts: jnp.stack(ts, axis=2)  # noqa: E731
-    return (
-        stack(xs0), stack(ys0), stack(vxs0), stack(vxs1),
-        stack(wys0), stack(wys1),
-    )
+def build_a_block(
+    x0c, x1c, y0c, y1c, vx0, vx1, wy0, wy1, *, level_dims, pitches, nblk,
+):
+    """Build the folded interpolation matrix for one query block.
+
+    Inputs are [L, P, nblk] slices (one (b, h) pair, one query block).
+    Returns a list of per-level [h*w8, nblk] f32 blocks (w8 = padded pitch,
+    see ``level_layout``): A_l[(y*w8 + x), q] = sum_p wy(y) * vx(x), the
+    4-corner bilinear coefficients of every point of q at this level,
+    attention weights folded in.  Shared by the forward and backward
+    kernels (the backward re-materializes A instead of saving it — the
+    reference's memory-parity design, kernels.py:421).
+    """
+    out = []
+    P = x0c.shape[1]
+    for li, (h, w) in enumerate(level_dims):
+        w8 = pitches[li]
+        acc = None
+        for p in range(P):
+            wy = make_sparse_factor(
+                y0c[li, p], y1c[li, p], wy0[li, p], wy1[li, p], h, h, nblk
+            )  # [h, nblk]
+            vx = make_sparse_factor(
+                x0c[li, p], x1c[li, p], vx0[li, p], vx1[li, p], w, w8, nblk
+            )  # [w8, nblk]
+            # outer product of the 2-sparse factors via broadcasting in
+            # [h, w8, nblk] (w8 is sublane-aligned so the final reshape to
+            # row = y*w8 + x is layout-free); cheaper than materializing
+            # repeat(wy) and tile(vx) separately
+            term = wy[:, None, :] * vx[None, :, :]
+            acc = term if acc is None else acc + term
+        out.append(acc.reshape(h * w8, nblk))
+    return out
+
+
+def split_bf16(x, n_split):
+    """Exact n-way bf16 decomposition of f32 ``x`` (x = sum of parts).
+
+    2 parts capture ~16 mantissa bits (~2^-17 relative residual), 3 parts
+    are f32-complete.  Both operands of every MXU contraction are split
+    this way: the MXU is bf16-native, and contracting the parts with f32
+    accumulation reproduces the f32 product (the bf16x_k emulation
+    scheme).  In-kernel use only — see ``split_bf16_xla``.
+    """
+    parts = []
+    r = x
+    for _ in range(n_split - 1):
+        hi = r.astype(jnp.bfloat16)
+        parts.append(hi)
+        r = r - hi.astype(_F32)
+    parts.append(r.astype(jnp.bfloat16))
+    return parts
+
+
+def split_bf16_xla(x, n_split):
+    """``split_bf16`` for use *outside* Pallas kernels.
+
+    XLA's excess-precision simplification folds f32(bf16(x)) back to x,
+    which would make every residual part identically zero; a barrier
+    after each rounding blocks that rewrite.  (Mosaic does not apply the
+    rewrite, so in-kernel splits need no barrier — and
+    optimization_barrier has no Mosaic lowering anyway.)
+    """
+    parts = []
+    r = x
+    for _ in range(n_split - 1):
+        hi = jax.lax.optimization_barrier(r.astype(jnp.bfloat16))
+        parts.append(hi)
+        r = r - hi.astype(_F32)
+    parts.append(r.astype(jnp.bfloat16))
+    return parts
+
+
+def build_e_wide(img, shapes, n_split):
+    """[B, H, n_split*ipad, n_split*C] value operand for the forward dot.
+
+    The A operand is stacked along K as its n_split bf16 parts
+    (A_1; ...; A_n).  E_wide column-stacks the E parts [E_1 | ... | E_n]
+    and row-replicates that n_split times so the K extents match: the
+    MXU's f32 K-accumulation then yields output column block k
+    = (sum_s A_s) @ E_k, and summing the column blocks gives every cross
+    term A_s @ E_k — the complete split product — from a single dot of
+    n_split * K_tiles passes (vs n^2 or 2n-1 for term-paired K slabs).
+    Column stacking also lifts MXU lane utilization from C=32/128 to
+    n_split*C/128.
+    """
+    e = build_e_matrix(img, shapes)
+    if n_split == 1:
+        return e.astype(jnp.bfloat16)
+    ecols = jnp.concatenate(split_bf16_xla(e, n_split), axis=3)
+    return jnp.concatenate([ecols] * n_split, axis=2)
+
+
+def assemble_a_parts(blocks, *, ipad, nblk, n_split, exact):
+    """Stack per-level A blocks into the K-stacked contraction operand.
+
+    Returns the f32 stack (exact mode) or the [n_split*ipad, nblk] bf16
+    part-stack.  Built as pure SSA values: routing the split through VMEM
+    scratch lets the compiler forward the pre-rounding f32 stores into the
+    consuming dot and collapse the split terms, silently degrading the
+    result to single-bf16 accuracy (observed on this toolchain: the slab
+    contents in scratch were bit-exact, only the fused dot was wrong).
+    """
+    tail = ipad - sum(b.shape[0] for b in blocks)
+    if exact:
+        parts = list(blocks)
+        if tail:
+            parts.append(jnp.zeros((tail, nblk), _F32))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    per_block = [split_bf16(blk, n_split) for blk in blocks]
+    rows = []
+    ztail = jnp.zeros((tail, nblk), jnp.bfloat16) if tail else None
+    for k in range(n_split):
+        rows.extend(pb[k] for pb in per_block)
+        if tail:
+            rows.append(ztail)
+    return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
 
 
 def _fwd_kernel(
-    # inputs (refs)
-    x0_ref, y0_ref, vx0_ref, vx1_ref, wy0_ref, wy1_ref,
-    *emat_and_out,
-    # static
-    level_shapes, P, C, precision,
+    # refs: geometry [1,1,L,P,nblk] x8, e_wide [1,1,ipad,n_split*C]
+    x0c_ref, x1c_ref, y0c_ref, y1c_ref, vx0_ref, vx1_ref, wy0_ref, wy1_ref,
+    ewide_ref,
+    out_ref,
+    *, level_dims, level_offs, pitches, ipad, C, nblk, n_split, exact,
 ):
-    """One grid step: one (b, h) slice x one query block, all levels."""
-    L = len(level_shapes)
-    emat_refs = emat_and_out[:L]
-    out_ref = emat_and_out[L]
-
-    nblk = N_BLOCK
-    kblk = nblk * P
-    acc = jnp.zeros((C, nblk), jnp.float32)
-
-    for lvl in range(L):
-        h, w = level_shapes[lvl]
-        # per-point scalars, [1, P, nblk] with queries on lanes
-        x0 = x0_ref[0, 0, lvl][None]
-        y0 = y0_ref[0, 0, lvl][None]
-        vx0 = vx0_ref[0, 0, lvl][None]
-        vx1 = vx1_ref[0, 0, lvl][None]
-        wy0 = wy0_ref[0, 0, lvl][None]
-        wy1 = wy1_ref[0, 0, lvl][None]
-
-        # --- stage 1: V^T[x, k] sparse-lerp columns, matmul against E ---
-        # border-mode clamping of corner indices (kernels.py:166-169);
-        # for zeros mode the weights already carry the OOB masks.
-        x0c = jnp.clip(x0, 0, w - 1)
-        x1c = jnp.clip(x0 + 1, 0, w - 1)
-        xi = jax.lax.broadcasted_iota(jnp.int32, (w, P, nblk), 0)
-        VT = (
-            jnp.where(xi == x0c, vx0, 0.0) + jnp.where(xi == x1c, vx1, 0.0)
-        ).reshape(w, kblk)
-        # T^T[(c, y), k] = E^T V^T   with E[x, (c, y)]
-        TT = jax.lax.dot_general(
-            emat_refs[lvl][0, 0],
-            VT,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # [C*h, kblk]
-
-        # --- stage 2: y-lerp + attention weight ---
-        y0c = jnp.clip(y0, 0, h - 1)
-        y1c = jnp.clip(y0 + 1, 0, h - 1)
-        yi = jax.lax.broadcasted_iota(jnp.int32, (h, P, nblk), 0)
-        W2T = (
-            jnp.where(yi == y0c, wy0, 0.0) + jnp.where(yi == y1c, wy1, 0.0)
-        ).reshape(h, kblk)
-        WT = jnp.tile(W2T, (C, 1))  # [C*h, kblk], row = c*h + y
-        ZT = TT * WT
-        # reduce y within rows: R[(c, y), c'] = (c == c') — a constant 0/1
-        # matrix, so this contraction is exact apart from Z's own rounding.
-        row = jax.lax.broadcasted_iota(jnp.int32, (h * C, C), 0)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (h * C, C), 1)
-        R = (row // h == cidx).astype(jnp.float32)
-        zcT = jax.lax.dot_general(
-            R, ZT,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # [C, kblk]
-        # fold P points per query: [C, P*nblk] -> [C, P, nblk] -> sum
-        acc = acc + zcT.reshape(C, P, nblk).sum(axis=1)
-
-    out_ref[0, 0, :, :] = acc
-
-
-def _level_mats(img, shapes, sublevels):
-    """img [B, I, H, C] -> per-sub-level stage-1 operands [B, H, w, C*hs]
-    (c-major lane order; see the module docstring layout notes)."""
-    B, I, H, C = img.shape  # noqa: E741
-    starts = np.concatenate(
-        [[0], np.cumsum([int(h) * int(w) for h, w in shapes])]
+    """One grid step: one (b, h) pyramid slice x one block of 128 queries."""
+    blocks = build_a_block(
+        x0c_ref[0, 0], x1c_ref[0, 0], y0c_ref[0, 0], y1c_ref[0, 0],
+        vx0_ref[0, 0], vx1_ref[0, 0], wy0_ref[0, 0], wy1_ref[0, 0],
+        level_dims=level_dims, pitches=pitches, nblk=nblk,
     )
-    mats = []
-    for lvl, off, band_h, w, level_h in sublevels:
-        start = int(starts[lvl])
-        full = jax.lax.slice_in_dim(
-            img, start, start + level_h * w, axis=1
-        ).reshape(B, level_h, w, H, C)
-        band = jax.lax.slice_in_dim(full, off, off + band_h, axis=1)
-        # [B, hs, w, H, C] -> [B, H, w, C, hs] -> [B, H, w, C*hs]
-        mats.append(
-            band.transpose(0, 3, 2, 4, 1).reshape(B, H, w, C * band_h)
+    dn = (((0,), (0,)), ((), ()))
+    a_cat = assemble_a_parts(
+        blocks, ipad=ipad, nblk=nblk, n_split=n_split, exact=exact
+    )
+    if exact:
+        # exact path (interpreter / debugging): f32 A, one highest dot
+        out_ref[0, 0] = jax.lax.dot_general(
+            a_cat, ewide_ref[0, 0], dn,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=_F32,
         )
-    return mats
-
-
-# y-extent cap per band (rows); bounds the [band*C, kblk] VMEM buffers.
-FWD_ROW_CHUNK = 32
+        return
+    o = jax.lax.dot_general(
+        a_cat, ewide_ref[0, 0], dn, preferred_element_type=_F32
+    )  # [nblk, n_split*C]
+    if n_split > 1:
+        acc = o[:, :C]
+        for k in range(1, n_split):
+            acc = acc + o[:, k * C:(k + 1) * C]
+        o = acc
+    out_ref[0, 0] = o
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "padding_mode", "align_corners", "shapes_tuple", "precision",
+        "shapes_tuple", "padding_mode", "align_corners", "n_split", "interpret",
     ),
 )
 def _pallas_fwd(
     img, sampling_points, attention_weights,
-    *, shapes_tuple, padding_mode, align_corners, precision,
+    *, shapes_tuple, padding_mode, align_corners, n_split, interpret,
 ):
     B, I, H, C = img.shape  # noqa: E741
     _, N, _, L, P, _ = sampling_points.shape
     shapes = np.asarray(shapes_tuple, np.int64)
-    sublevels = make_sublevels(shapes, FWD_ROW_CHUNK)
-    S = len(sublevels)
+    level_offs, pitches, ipad = level_layout(shapes)
+    level_dims = tuple((int(h), int(w)) for h, w in shapes)
 
     geom = prepare_geometry(
         sampling_points, attention_weights, shapes, padding_mode,
-        align_corners, sublevels,
-    )  # each [B, H, S, P, N]
-
+        align_corners,
+    )
     n_pad = _round_up(N, N_BLOCK)
-    if n_pad != N:
-        pad = [(0, 0)] * 4 + [(0, n_pad - N)]
-        # padded points: weights are zero -> contribute nothing
-        geom = tuple(jnp.pad(t, pad) for t in geom)
+    geom = _pad_queries(geom, N, n_pad)
 
-    emats = _level_mats(img.astype(jnp.float32), shapes, sublevels)
+    exact = bool(interpret)
+    if exact:
+        # exact f32 path: interpreter bf16 emulation drops the residual
+        # split parts, and interpret mode has no perf constraints
+        e_wide = build_e_matrix(img, shapes)
+        kdim, ndim = ipad, C
+    else:
+        e_wide = build_e_wide(img, shapes, n_split)
+        kdim, ndim = n_split * ipad, n_split * C
 
     grid = (B * H, n_pad // N_BLOCK)
 
     def pt_spec():
         return pl.BlockSpec(
-            (1, 1, S, P, N_BLOCK),
+            (1, 1, L, P, N_BLOCK),
             lambda bh, nb: (bh // H, bh % H, 0, 0, nb),
             memory_space=pltpu.VMEM,
         )
 
-    def emat_spec(sub):
-        _, _, band_h, w, _ = sublevels[sub]
+    def e_spec():
         return pl.BlockSpec(
-            (1, 1, w, band_h * C),
+            (1, 1, kdim, ndim),
             lambda bh, nb: (bh // H, bh % H, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     out_spec = pl.BlockSpec(
-        (1, 1, C, N_BLOCK),
-        lambda bh, nb: (bh // H, bh % H, 0, nb),
+        (1, 1, N_BLOCK, C),
+        lambda bh, nb: (bh // H, bh % H, nb, 0),
         memory_space=pltpu.VMEM,
     )
 
     kernel = functools.partial(
         _fwd_kernel,
-        level_shapes=tuple((sub[2], sub[3]) for sub in sublevels),
-        P=P,
+        level_dims=level_dims,
+        level_offs=tuple(level_offs),
+        pitches=tuple(pitches),
+        ipad=ipad,
         C=C,
-        precision=precision,
+        nblk=N_BLOCK,
+        n_split=n_split,
+        exact=exact,
     )
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pt_spec() for _ in range(6)] + [emat_spec(s_) for s_ in range(S)],
+        in_specs=[pt_spec() for _ in range(8)] + [e_spec()],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, C, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, n_pad, C), _F32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=INTERPRET,
-    )(*geom, *emats)
+        interpret=interpret,
+    )(*geom, e_wide)
 
-    out = out[:, :, :, :N].transpose(0, 3, 1, 2)  # [B, N, H, C]
+    out = out[:, :, :N].transpose(0, 2, 1, 3)  # [B, N, H, C]
     return out.astype(img.dtype)
+
+
+def resolve_n_split(dtype, precision) -> int:
+    """bf16 split depth for the MXU contractions.
+
+    bf16/f16 inputs: 1 (the inputs already quantize harder than the MXU).
+    f32 default: 2-way splits of both operands with all four cross terms
+    (~2^-17 relative — inside the reference fp32 test tolerances
+    rtol=1e-4/atol=1e-3, test_msda.py:15-27, and at the ~1e-5 parity bar).
+    f32 highest: 3-way splits, f32-complete.
+    """
+    if dtype in (jnp.bfloat16, jnp.float16):
+        return 1
+    if precision in (jax.lax.Precision.HIGHEST, "highest"):
+        return 3
+    return 2
 
 
 def pallas_multiscale_deformable_attention(
     img, img_shapes, sampling_points, attention_weights,
     padding_mode: str = "border", align_corners: bool = False,
-    precision=None,
+    precision=None, interpret: bool | None = None,
 ):
     """Pallas TPU forward.  Requires concrete (non-traced) ``img_shapes``.
 
     Args/semantics identical to
     :func:`msda_tpu.ops.multiscale_deformable_attention`.
-
-    ``precision``: MXU precision for the in-kernel matmuls.  Defaults to
-    HIGHEST (f32-exact, needed to hit the <=1e-5 parity target) for f32
-    inputs and DEFAULT for bf16 inputs (where the inputs themselves already
-    quantize the geometry).
+    ``interpret`` runs the kernel through the Pallas interpreter (any
+    backend); defaults to the module-level ``INTERPRET`` flag.
     """
     shapes = np.asarray(jax.device_get(img_shapes)).astype(np.int64)
     shapes_tuple = tuple((int(h), int(w)) for h, w in shapes)
-    if precision is None:
-        precision = (
-            jax.lax.Precision.DEFAULT
-            if img.dtype == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST
+    if interpret is None:
+        interpret = INTERPRET
+    # Trace with x64 locally disabled: every kernel input/output is an
+    # explicit f32/int32, but under jax_enable_x64 stray Python-int scalars
+    # become 64-bit inside the kernel trace and Mosaic's dtype-conversion
+    # helper recurses forever on 64-bit casts (observed: RecursionError
+    # during lowering).  Disabling x64 for the trace changes no semantics.
+    with jax.enable_x64(False):
+        return _pallas_fwd(
+            img, sampling_points, attention_weights,
+            shapes_tuple=shapes_tuple,
+            padding_mode=padding_mode,
+            align_corners=bool(align_corners),
+            n_split=resolve_n_split(img.dtype, precision),
+            interpret=bool(interpret),
         )
-    return _pallas_fwd(
-        img, sampling_points, attention_weights,
-        shapes_tuple=shapes_tuple,
-        padding_mode=padding_mode,
-        align_corners=bool(align_corners),
-        precision=precision,
-    )

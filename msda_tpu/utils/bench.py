@@ -62,6 +62,8 @@ def device_memory_stats(device=None):
         stats = device.memory_stats()
     except Exception:
         return {}
+    if not stats:  # some runtimes return None instead of raising
+        return {}
     return {
         "bytes_in_use": stats.get("bytes_in_use"),
         "peak_bytes_in_use": stats.get("peak_bytes_in_use"),

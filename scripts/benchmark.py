@@ -56,7 +56,7 @@ def make_data(n, dtype=jnp.float32, seed=0):
     return img, pts, wts, og
 
 
-def bench_fwd(impl, n, dtype=jnp.float32, iters=10):
+def bench_fwd(impl, n, dtype=jnp.float32, iters=50):
     img, pts, wts, _ = make_data(n, dtype)
 
     def step(carry):
@@ -67,7 +67,7 @@ def bench_fwd(impl, n, dtype=jnp.float32, iters=10):
     return timeit_op(step, (img, pts, jnp.float32(0)), n=iters, repeats=2)
 
 
-def bench_fwdbwd(impl, n, dtype=jnp.float32, iters=6):
+def bench_fwdbwd(impl, n, dtype=jnp.float32, iters=30):
     img, pts, wts, og = make_data(n, dtype)
 
     def step(carry):
@@ -83,9 +83,13 @@ def bench_fwdbwd(impl, n, dtype=jnp.float32, iters=6):
     return timeit_op(step, (img, pts, jnp.float32(0)), n=iters, repeats=2)
 
 
-def bench_memory(impl, n, dtype=jnp.float32):
+def _memory_probe(impl, n, dtype=jnp.float32):
     """Peak device memory delta for one fwd+bwd (reference
-    scripts/benchmark.py:156-172 analogue)."""
+    scripts/benchmark.py:156-172 analogue).  Must run in a fresh process:
+    JAX's peak_bytes_in_use is monotonic over the process lifetime, so
+    in-process sweeps would report the stale global peak for every config
+    after the largest one (the reference resets peak stats via torch.cuda;
+    JAX has no reset API)."""
     stats0 = device_memory_stats()
     img, pts, wts, og = make_data(n, dtype)
 
@@ -99,9 +103,28 @@ def bench_memory(impl, n, dtype=jnp.float32):
     r = run(img, pts, wts, og)
     jax.block_until_ready(r)
     stats1 = device_memory_stats()
-    if not stats0 or stats0.get("peak_bytes_in_use") is None:
+    if (
+        not stats0
+        or stats0.get("peak_bytes_in_use") is None
+        or stats1.get("peak_bytes_in_use") is None
+    ):
         return float("nan")
     return (stats1["peak_bytes_in_use"] - stats0["bytes_in_use"]) / 1e6
+
+
+def bench_memory(impl, n, dtype=jnp.float32):
+    """Run the memory probe in a fresh subprocess (see _memory_probe)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--memory-probe",
+         impl, str(n), jnp.dtype(dtype).name],
+        capture_output=True, text=True, timeout=1200,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("MEMORY_MB "):
+            return float(line.split()[1])
+    return float("nan")
 
 
 def main():
@@ -114,8 +137,18 @@ def main():
                     default=[10, 100, 300, 900, 1000, 10000])
     ap.add_argument("--bf16", action="store_true",
                     help="also run the pallas path in bfloat16")
+    ap.add_argument("--no-memory", action="store_true",
+                    help="skip the (subprocess-based) memory probes")
+    ap.add_argument("--memory-probe", nargs=3, metavar=("IMPL", "N", "DT"),
+                    help=argparse.SUPPRESS)  # internal, fresh-process probe
     ap.add_argument("--out", default="outputs/benchmark_results.csv")
     args = ap.parse_args()
+
+    if args.memory_probe:
+        impl, n, dt = args.memory_probe
+        mem = _memory_probe(impl, int(n), jnp.dtype(dt))
+        print(f"MEMORY_MB {mem}")
+        return
 
     rows = []
     configs = [(impl, jnp.float32) for impl in args.impls]
@@ -126,7 +159,7 @@ def main():
         for n in args.queries:
             t_f = bench_fwd(impl, n, dtype) * 1e3
             t_fb = bench_fwdbwd(impl, n, dtype) * 1e3
-            mem = bench_memory(impl, n, dtype)
+            mem = float("nan") if args.no_memory else bench_memory(impl, n, dtype)
             rows.append(dict(impl=impl, dtype=dt, num_queries=n,
                              fwd_ms=round(t_f, 3), fwdbwd_ms=round(t_fb, 3),
                              peak_mem_mb=round(mem, 1)))

@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 from msda_tpu.ops import multiscale_deformable_attention
+from msda_tpu.ops import multiscale_deformable_attention as msda
 from oracle import torch_msda_oracle, torch_msda_oracle_grads
 from utils import get_functional_data
 
@@ -100,3 +101,37 @@ def test_fused_matches_reference_jit_grad():
     g_ref = jax.jit(jax.grad(make_loss("reference"), argnums=(0, 1, 2)))(img, pts, wts)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_one_pixel_levels():
+    """Levels with height or width 1: the fixed-size 2x2 patch gather must
+    stay in bounds (regression: clip(x, 0, w-2) produced -1 with
+    PROMISE_IN_BOUNDS for w == 1 — silently wrong values/grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    shapes = np.array([(5, 4), (1, 3), (2, 1), (1, 1)], np.int32)
+    B, H, C, P, L, N = 2, 2, 8, 2, 4, 40
+    I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
+    img = jnp.asarray(rng.standard_normal((B, I, H, C)), jnp.float32)
+    pts = jnp.asarray(rng.random((B, N, H, L, P, 2)) * 1.4 - 0.2, jnp.float32)
+    logits = rng.standard_normal((B, N, H, L, P))
+    e = np.exp(logits - logits.max(axis=(-1, -2), keepdims=True))
+    wts = jnp.asarray(e / e.sum(axis=(-1, -2), keepdims=True), jnp.float32)
+    og = jnp.asarray(rng.standard_normal((B, N, H, C)), jnp.float32)
+
+    for padding_mode in ("border", "zeros"):
+        def f(impl):
+            def g(i, p, w):
+                return msda(i, shapes, p, w, padding_mode, True, impl=impl)
+            out, vjp = jax.vjp(g, img, pts, wts)
+            return (np.asarray(out), *map(np.asarray, vjp(og)))
+
+        got = f("fused")
+        want = f("reference")
+        for name, a, b in zip(("out", "ig", "pg", "wg"), got, want):
+            np.testing.assert_allclose(
+                a, b, atol=1e-5, rtol=1e-5,
+                err_msg=f"{name} ({padding_mode}, 1px levels)",
+            )

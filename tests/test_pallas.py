@@ -5,8 +5,14 @@ padding x align_corners grid with OOB points, forward and all three
 gradients (the analogue of the reference's Triton-vs-oracle matrix,
 /root/reference/tests/test_msda.py:65-151).
 
-On CPU: one configuration through the Pallas interpreter, so kernel logic
-is exercised by every CI run even without TPU hardware.
+On CPU: one configuration through the Pallas interpreter (passed as an
+explicit ``interpret=True`` argument — no module-global mutation), so the
+kernel logic is exercised by every CI run even without TPU hardware.
+
+Tolerances: the compiled f32 path uses exact two-way bf16 operand splits
+(~2^-17 relative, see pallas_fwd.resolve_n_split); asserted here at 1e-4
+absolute on O(1) outputs — well inside the reference's own fp32 contract
+(rtol=1e-4/atol=1e-3 fwd, 1e-3/1e-2 bwd, test_msda.py:15-27).
 """
 
 from itertools import product
@@ -17,47 +23,79 @@ import pytest
 
 from conftest import has_tpu, requires_tpu
 from msda_tpu.ops import multiscale_deformable_attention as msda
-from msda_tpu.ops import pallas_fwd as _pf
+from msda_tpu.ops.pallas_fwd import pallas_multiscale_deformable_attention
+from msda_tpu.ops.pallas_bwd import pallas_msda_bwd
 from utils import get_functional_data
 
 GRID = list(product(["border", "zeros"], [True, False]))
 
+FWD_TOL = dict(atol=1e-4, rtol=1e-4)
+BWD_TOL = dict(atol=1e-3, rtol=1e-3)
 
-def _run_pair(padding_mode, align_corners):
-    img, shapes, pts, wts, og = get_functional_data(oob=True)
 
-    def f(impl):
-        def g(i, p, w):
-            return msda(i, shapes, p, w, padding_mode, align_corners, impl=impl)
-        out, vjp = jax.vjp(g, img, pts, wts)
-        return (np.asarray(out), *map(np.asarray, vjp(og)))
+def _reference_with_grads(img, shapes, pts, wts, og, padding_mode, align_corners):
+    def g(i, p, w):
+        return msda(i, shapes, p, w, padding_mode, align_corners,
+                    impl="reference")
+    out, vjp = jax.vjp(g, img, pts, wts)
+    return (np.asarray(out), *map(np.asarray, vjp(og)))
 
-    got = f("pallas")
-    want = f("reference")
+
+def _check(got, want, ctx):
     names = ["out", "img_grad", "pts_grad", "wts_grad"]
-    for name, a, b in zip(names, got, want):
+    for name, a, b, tol in zip(names, got, want, [FWD_TOL] + [BWD_TOL] * 3):
         np.testing.assert_allclose(
-            a, b, atol=2e-5, rtol=2e-5,
-            err_msg=f"{name} mismatch ({padding_mode}, ac={align_corners})",
+            a, b, **tol, err_msg=f"{name} mismatch ({ctx})"
         )
 
 
 @requires_tpu
 @pytest.mark.parametrize("padding_mode,align_corners", GRID)
 def test_pallas_vs_reference_tpu(padding_mode, align_corners):
-    _run_pair(padding_mode, align_corners)
+    img, shapes, pts, wts, og = get_functional_data(oob=True)
+
+    def g(i, p, w):
+        return msda(i, shapes, p, w, padding_mode, align_corners,
+                    impl="pallas")
+    out, vjp = jax.vjp(g, img, pts, wts)
+    got = (np.asarray(out), *map(np.asarray, vjp(og)))
+    want = _reference_with_grads(
+        img, shapes, pts, wts, og, padding_mode, align_corners
+    )
+    _check(got, want, f"{padding_mode}, ac={align_corners}")
 
 
 @pytest.mark.skipif(has_tpu(), reason="covered compiled on TPU")
 def test_pallas_interpret_mode_cpu():
-    """Kernel logic via the Pallas interpreter on CPU (one config)."""
-    _pf.INTERPRET = True
-    jax.clear_caches()
-    try:
-        _run_pair("border", False)
-    finally:
-        _pf.INTERPRET = False
-        jax.clear_caches()
+    """Kernel logic via the Pallas interpreter on CPU (one config).
+
+    The interpreter path uses exact f32 operands (see pallas_fwd), so the
+    comparison is tight.
+    """
+    img, shapes, pts, wts, og = get_functional_data(N=130, oob=True)
+    out = np.asarray(pallas_multiscale_deformable_attention(
+        img, shapes, pts, wts, "border", False, interpret=True
+    ))
+    ig, pg, wg = (np.asarray(t) for t in pallas_msda_bwd(
+        img, shapes, pts, wts, og, "border", False, interpret=True
+    ))
+    want = _reference_with_grads(img, shapes, pts, wts, og, "border", False)
+    _check((out, ig, pg, wg), want, "interpret cpu")
+
+
+@requires_tpu
+def test_pallas_x64_flag_tpu():
+    """The kernels must trace/compile with jax_enable_x64 set (the round-1
+    kernels hit a Mosaic 64-bit convert recursion under this flag)."""
+    assert jax.config.jax_enable_x64, "suite conftest should enable x64"
+    img, shapes, pts, wts, _ = get_functional_data(N=130)
+    got = np.asarray(
+        msda(img, shapes, pts, wts, "border", True, impl="pallas")
+    )
+    want = np.asarray(
+        msda(img, shapes, pts, wts, "border", True, impl="reference")
+    )
+    np.testing.assert_allclose(got, want, **FWD_TOL)
 
 
 @requires_tpu
@@ -75,7 +113,21 @@ def test_pallas_bf16_tpu():
     want = np.asarray(
         msda(img, shapes, pts, wts, "border", True, impl="reference")
     )
+    # reference half-precision tolerance (test_msda.py:15-27: fp16 1e-1)
     np.testing.assert_allclose(got, want, atol=1.5e-1, rtol=1.5e-1)
+
+
+@requires_tpu
+def test_pallas_highest_precision_tpu():
+    """precision='highest' uses 3-way splits (f32-complete)."""
+    img, shapes, pts, wts, _ = get_functional_data()
+    got = np.asarray(pallas_multiscale_deformable_attention(
+        img, shapes, pts, wts, "border", True, precision="highest"
+    ))
+    want = np.asarray(
+        msda(img, shapes, pts, wts, "border", True, impl="reference")
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=2e-6)
 
 
 @requires_tpu
@@ -88,6 +140,17 @@ def test_pallas_nondivisible_queries_tpu():
             msda(img, shapes, pts, wts, "zeros", True, impl=impl)
         )
 
-    np.testing.assert_allclose(
-        f("pallas"), f("reference"), atol=2e-5, rtol=2e-5
-    )
+    np.testing.assert_allclose(f("pallas"), f("reference"), **FWD_TOL)
+
+
+def test_pallas_rejects_traced_shapes():
+    import jax.numpy as jnp
+
+    img, shapes, pts, wts, _ = get_functional_data(N=130)
+
+    @jax.jit
+    def f(img, shapes, pts, wts):
+        return msda(img, shapes, pts, wts, impl="pallas")
+
+    with pytest.raises(ValueError, match="concrete img_shapes"):
+        f(img, jnp.asarray(shapes), pts, wts)
