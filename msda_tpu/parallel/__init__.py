@@ -6,7 +6,7 @@ from .sharding import (
     shard_msda_args,
     sharded_multiscale_deformable_attention,
 )
-from .train import detection_loss, make_train_step, replicate_params
+from .train import detection_loss, make_train_step, replicate_params, shard_params
 
 __all__ = [
     "make_mesh",
@@ -16,4 +16,5 @@ __all__ = [
     "detection_loss",
     "make_train_step",
     "replicate_params",
+    "shard_params",
 ]

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["detection_loss", "make_train_step", "replicate_params"]
+__all__ = ["detection_loss", "make_train_step", "replicate_params", "shard_params"]
 
 
 def detection_loss(outputs, targets):
@@ -44,14 +44,59 @@ def detection_loss(outputs, targets):
 
 
 def replicate_params(params, mesh: Mesh):
-    """Replicate parameters across the mesh (dp+sp+tp all replicated).
-
-    Sharding parameters over tp (Megatron-style split of the projection
-    matrices) is a planned refinement; activations already shard over
-    dp/sp/tp through the op constraints.
-    """
+    """Replicate parameters across the mesh (dp+sp+tp all replicated)."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), params)
+
+
+def _tp_spec_for(path, leaf) -> P:
+    """Megatron-style tensor-parallel PartitionSpec for one parameter.
+
+    The attention projections have head-major output/input layouts
+    (models/attention.py:99,106), so the tp axis splits them by head:
+
+      img_input_proj / query_input_proj   kernel [in, out]: split *out*
+          (column-parallel — each tp shard computes its heads' features)
+      query_output_proj                   kernel [in(head-major), out]:
+          split *in* (row-parallel — GSPMD inserts the closing all-reduce)
+
+    Everything else (FFNs, heads, embeddings, norms) stays replicated.
+    """
+    names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+    joined = "/".join(str(n) for n in names)
+    is_kernel = names and str(names[-1]) == "kernel"
+    is_bias = names and str(names[-1]) == "bias"
+    if "img_input_proj" in joined or "query_input_proj" in joined:
+        if is_kernel and leaf.ndim == 2:
+            return P(None, "tp")
+        if is_bias and leaf.ndim == 1:
+            return P("tp")
+    if "query_output_proj" in joined:
+        if is_kernel and leaf.ndim == 2:
+            return P("tp", None)
+        # row-parallel bias stays replicated (added once after the
+        # all-reduce, not per shard)
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Place parameters on the mesh with the attention projections split
+    over the ``tp`` axis (see ``_tp_spec_for``); all other parameters are
+    replicated.  Gradients/optimizer state inherit these shardings through
+    the train step."""
+    if "tp" not in mesh.axis_names:
+        return replicate_params(params, mesh)
+
+    def put(path, x):
+        spec = _tp_spec_for(path, x)
+        # only shard if the tp axis divides the dimension
+        for axis, name in enumerate(spec):
+            if name == "tp" and x.shape[axis] % mesh.shape["tp"] != 0:
+                spec = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)
 
 
 def make_train_step(model, optimizer, mesh: Mesh, img_shapes):

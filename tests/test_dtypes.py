@@ -1,0 +1,104 @@
+"""Half-precision dtype matrix: float16 and bfloat16, forward and backward.
+
+The reference covers fp16 forward + autocast smoke (test_msda.py:65-72,
+175-182) with tolerance (1e-1, 1e-1); here both half dtypes are exercised
+through forward AND backward on every available implementation, plus a
+compute-policy check: half inputs must be accumulated in f32 internally
+(the analogue of the reference's @custom_fwd(cast_inputs=torch.float32),
+frontend.py:111), which keeps the error ~quantization-of-inputs instead of
+growing with the L*P*4-term reduction.
+"""
+
+from itertools import product
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import has_tpu
+from msda_tpu.ops import multiscale_deformable_attention as msda
+from utils import get_functional_data
+
+HALF_DTYPES = [jnp.float16, jnp.bfloat16]
+HALF_TOL = dict(atol=1e-1, rtol=1e-1)  # reference DTYPE_TO_TOLERANCE fp16 row
+
+
+def _impls():
+    impls = ["reference", "fused"]
+    if has_tpu():
+        impls.append("pallas")
+    return impls
+
+
+def _data(dtype):
+    img, shapes, pts, wts, og = get_functional_data(N=64)
+    cast = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+    return (cast(img), shapes, cast(pts), cast(wts), cast(og),
+            img, pts, wts, og)
+
+
+@pytest.mark.parametrize(
+    "dtype,impl", list(product(HALF_DTYPES, _impls()))
+)
+def test_half_forward(dtype, impl):
+    imgh, shapes, ptsh, wtsh, _, img, pts, wts, _ = _data(dtype)
+    got = msda(imgh, shapes, ptsh, wtsh, "border", True, impl=impl)
+    assert got.dtype == dtype  # output keeps the storage dtype
+    want = np.asarray(
+        msda(img, shapes, pts, wts, "border", True, impl="reference")
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), want, **HALF_TOL
+    )
+
+
+@pytest.mark.parametrize(
+    "dtype,impl", list(product(HALF_DTYPES, _impls()))
+)
+def test_half_backward(dtype, impl):
+    imgh, shapes, ptsh, wtsh, ogh, img, pts, wts, og = _data(dtype)
+
+    def f(i, p, w, impl_):
+        def g(ii, pp, ww):
+            return msda(ii, shapes, pp, ww, "border", True, impl=impl_)
+        out, vjp = jax.vjp(g, i, p, w)
+        return vjp  # grads
+
+    ig, pg, wg = f(imgh, ptsh, wtsh, impl)(ogh)
+    assert ig.dtype == pg.dtype == wg.dtype == dtype
+    ig32, pg32, wg32 = f(img, pts, wts, "reference")(og)
+    # coordinate grads scale with the level extents; compare relative to
+    # each tensor's own magnitude at the reference half tolerance
+    for a, b in ((ig, ig32), (pg, pg32), (wg, wg32)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        err = float(jnp.max(jnp.abs(jnp.asarray(a, jnp.float32) - b)))
+        assert err / scale < 1.5e-1, (err, scale)
+
+
+@pytest.mark.parametrize("impl", _impls())
+def test_half_inputs_accumulate_in_f32(impl):
+    """With bf16 storage, the result must track the f32 computation to
+    input-quantization error (~1e-2), not half-accumulation error: the
+    L*P*4 = 48-term weighted reduction in half precision would lose
+    another ~2 bits.  This pins the cast-up-then-compute policy
+    (reference frontend.py:111, kernels.py:32-41)."""
+    img, shapes, pts, wts, _ = get_functional_data(N=64)
+    # exactly representable half inputs -> any error is compute error
+    imgh = np.asarray(jnp.asarray(img, jnp.bfloat16), np.float32)
+    ptsh = np.asarray(jnp.asarray(pts, jnp.bfloat16), np.float32)
+    wtsh = np.asarray(jnp.asarray(wts, jnp.bfloat16), np.float32)
+    want = np.asarray(
+        msda(imgh, shapes, ptsh, wtsh, "border", True, impl="reference")
+    )
+    got = np.asarray(
+        msda(
+            jnp.asarray(imgh, jnp.bfloat16), shapes,
+            jnp.asarray(ptsh, jnp.bfloat16), jnp.asarray(wtsh, jnp.bfloat16),
+            "border", True, impl=impl,
+        ),
+        np.float32,
+    )
+    # f32 accumulation of exactly-representable bf16 inputs: only the
+    # final cast back to bf16 (~2^-8 relative) remains
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)

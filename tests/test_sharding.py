@@ -81,7 +81,86 @@ def test_dryrun_multichip_entrypoint():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    n = min(8, len(jax.devices("cpu")))
-    if jax.default_backend() != "cpu":
-        pytest.skip("dryrun uses default-backend devices; covered by driver")
-    mod.dryrun_multichip(n)
+    # hermetic on CPU devices by construction — runs on every backend
+    # (TPU-default machines included; no skip)
+    mod.dryrun_multichip(min(8, len(jax.devices("cpu"))))
+
+
+def test_tp_param_sharding_matches_replicated(mesh):
+    """Projections sharded over tp: per-device shards shrink and one train
+    step matches the fully-replicated run (VERDICT r1 item 9)."""
+    import optax
+    from msda_tpu.models.detr import DeformableDetr
+    from msda_tpu.parallel import make_train_step, replicate_params, shard_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shapes = np.array([(8, 8), (4, 4)], np.int32)
+    model = DeformableDetr(
+        num_classes=4, emb_dim=32, num_heads=4, num_points=2,
+        num_queries=8, num_encoder_layers=1, num_decoder_layers=1,
+        ffn_dim=64, impl="reference", mesh=mesh,
+    )
+    rng = np.random.default_rng(0)
+    batch = 2
+    pyramid = [
+        jnp.asarray(rng.standard_normal((batch, h, w, 16)), jnp.float32)
+        for h, w in shapes
+    ]
+    optimizer = optax.sgd(1e-2)
+    targets = {
+        "labels": jnp.asarray(rng.integers(0, 4, (batch, 8)), jnp.int32),
+        "boxes": jnp.asarray(rng.random((batch, 8, 4)), jnp.float32),
+        "mask": jnp.ones((batch, 8), jnp.float32),
+    }
+
+    def run(place):
+        # fully independent state per run: donated buffers from one run
+        # must never alias the other's inputs
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = model.init(jax.random.PRNGKey(0), pyramid, shapes)
+        with mesh:
+            p = place(params, mesh)
+            o = optimizer.init(p)
+            pyr = [
+                jax.device_put(
+                    f, NamedSharding(mesh, P("dp", None, None, None))
+                )
+                for f in pyramid
+            ]
+            tgt = {
+                k: jax.device_put(
+                    v, NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1))))
+                )
+                for k, v in targets.items()
+            }
+            step = make_train_step(model, optimizer, mesh, shapes)
+            new_params, _, loss = step(p, o, pyr, tgt)
+            return float(loss), new_params
+
+    loss_rep, params_rep = run(replicate_params)
+    loss_tp, params_tp = run(shard_params)
+
+    # the tp run must actually shard the projection kernels
+    flat = jax.tree_util.tree_flatten_with_path(params_tp)[0]
+    sharded = [
+        (path, leaf) for path, leaf in flat
+        if "img_input_proj" in "/".join(str(getattr(k, "key", k)) for k in path)
+        and leaf.ndim == 2
+    ]
+    assert sharded, "img_input_proj kernel not found"
+    for path, leaf in sharded:
+        shard_shape = leaf.addressable_shards[0].data.shape
+        assert shard_shape[1] == leaf.shape[1] // mesh.shape["tp"], (
+            path, shard_shape, leaf.shape
+        )
+
+    # and the math must not change
+    np.testing.assert_allclose(loss_tp, loss_rep, rtol=1e-5, atol=1e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params_tp)[0],
+        jax.tree_util.tree_flatten_with_path(params_rep)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+            err_msg=str(pa),
+        )
