@@ -85,10 +85,10 @@ def _check_inputs(img, img_shapes, sampling_points, attention_weights):
         )
 
 
-def _resolve_impl(impl: str, img_shapes, dtype) -> str:
+def _resolve_impl(impl: str, shapes_tuple, dtype) -> str:
     if impl not in _VALID_IMPL:
         raise ValueError(f"impl must be one of {_VALID_IMPL}, got {impl!r}")
-    traced_shapes = isinstance(img_shapes, jax.core.Tracer)
+    traced_shapes = shapes_tuple is None
     f64 = dtype == jnp.float64
     if impl == "auto":
         if jax.default_backend() == "tpu" and not traced_shapes and not f64:
@@ -110,47 +110,72 @@ def _resolve_impl(impl: str, img_shapes, dtype) -> str:
     return impl
 
 
-def _run_forward(img, img_shapes, pts, wts, padding_mode, align_corners, impl):
+def _shapes_arg(shapes_tuple, img_shapes):
+    """Concrete shapes travel as a static tuple; traced ones as the array."""
+    if shapes_tuple is not None:
+        return np.asarray(shapes_tuple, np.int32)
+    return img_shapes
+
+
+def _run_forward(img, img_shapes, pts, wts,
+                 shapes_tuple, padding_mode, align_corners, impl):
+    shapes = _shapes_arg(shapes_tuple, img_shapes)
     if impl == "pallas":
         return _pfwd.pallas_multiscale_deformable_attention(
-            img, img_shapes, pts, wts, padding_mode, align_corners
+            img, shapes, pts, wts, padding_mode, align_corners
         )
     if impl == "fused":
         return _fused.fused_multiscale_deformable_attention(
-            img, img_shapes, pts, wts, padding_mode, align_corners
+            img, shapes, pts, wts, padding_mode, align_corners
         )
     return native_multiscale_deformable_attention(
-        img, img_shapes, pts, wts, padding_mode, align_corners
+        img, shapes, pts, wts, padding_mode, align_corners
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _msda(img, img_shapes, pts, wts, padding_mode, align_corners, impl):
-    return _run_forward(img, img_shapes, pts, wts, padding_mode, align_corners, impl)
+# ``shapes_tuple`` is a *static* (nondiff) argument: the pyramid geometry is
+# shape-like data the kernels specialize on, and routing it through the
+# residuals would turn it into a tracer inside the backward under an outer
+# jit/scan/vjp, silently breaking the Pallas backward path.  When the caller
+# genuinely traces img_shapes (reference impl only), shapes_tuple is None
+# and the array rides along as a regular (integer, zero-cotangent) input.
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _msda(img, img_shapes, pts, wts,
+          shapes_tuple, padding_mode, align_corners, impl):
+    return _run_forward(
+        img, img_shapes, pts, wts,
+        shapes_tuple, padding_mode, align_corners, impl,
+    )
 
 
-def _msda_fwd(img, img_shapes, pts, wts, padding_mode, align_corners, impl):
-    out = _run_forward(img, img_shapes, pts, wts, padding_mode, align_corners, impl)
+def _msda_fwd(img, img_shapes, pts, wts,
+              shapes_tuple, padding_mode, align_corners, impl):
+    out = _run_forward(
+        img, img_shapes, pts, wts,
+        shapes_tuple, padding_mode, align_corners, impl,
+    )
     # Save only the primal inputs — the backward rematerializes the bilinear
     # sampling, matching the reference's memory-parity design
     # (frontend.py:121, kernels.py:421).
     return out, (img, img_shapes, pts, wts)
 
 
-def _msda_bwd(padding_mode, align_corners, impl, residuals, out_grad):
+def _msda_bwd(shapes_tuple, padding_mode, align_corners, impl,
+              residuals, out_grad):
     img, img_shapes, pts, wts = residuals
+    shapes = _shapes_arg(shapes_tuple, img_shapes)
     if impl == "pallas":
         img_grad, pts_grad, wts_grad = _pbwd.pallas_msda_bwd(
-            img, img_shapes, pts, wts, out_grad, padding_mode, align_corners
+            img, shapes, pts, wts, out_grad, padding_mode, align_corners
         )
     elif impl == "fused":
         img_grad, pts_grad, wts_grad = _fused.fused_msda_vjp(
-            img, img_shapes, pts, wts, out_grad, padding_mode, align_corners
+            img, shapes, pts, wts, out_grad, padding_mode, align_corners
         )
     else:
         _, vjp_fn = jax.vjp(
             lambda i, p, w: native_multiscale_deformable_attention(
-                i, img_shapes, p, w, padding_mode, align_corners
+                i, shapes, p, w, padding_mode, align_corners
             ),
             img,
             pts,
@@ -217,16 +242,24 @@ def multiscale_deformable_attention(
         raise ValueError(
             f"padding_mode must be one of {_VALID_PADDING}, got {padding_mode!r}"
         )
+    # concreteness must be judged on the *raw* argument: jnp.asarray stages
+    # even numpy constants into tracers under an outer jit
+    if isinstance(img_shapes, jax.core.Tracer):
+        shapes_tuple = None  # reference impl only (see _resolve_impl)
+    else:
+        shapes_np = np.asarray(jax.device_get(img_shapes))
+        shapes_tuple = tuple((int(h), int(w)) for h, w in shapes_np)
     img_shapes = jnp.asarray(img_shapes)
     if not jnp.issubdtype(img_shapes.dtype, jnp.integer):
         img_shapes = img_shapes.astype(jnp.int32)
     _check_inputs(img, img_shapes, sampling_points, attention_weights)
-    impl = _resolve_impl(impl, img_shapes, img.dtype)
+    impl = _resolve_impl(impl, shapes_tuple, img.dtype)
     return _msda(
         img,
         img_shapes,
         sampling_points,
         attention_weights,
+        shapes_tuple,
         padding_mode,
         bool(align_corners),
         impl,

@@ -49,13 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_fwd import (
     INTERPRET,
-    N_BLOCK,
     _round_up,
     assemble_a_parts,
-    build_a_block,
     build_e_matrix,
     level_layout,
     make_sparse_factor,
+    point_geometry,
+    prepare_inputs,
     resolve_n_split,
     split_bf16,
     split_bf16_xla,
@@ -63,81 +63,21 @@ from .pallas_fwd import (
 
 __all__ = ["pallas_msda_bwd"]
 
+# queries per grid step.  Smaller than the forward's: the backward holds
+# G [ipad, nblk] f32 plus the A parts concurrently, and larger blocks push
+# past the VMEM sweet spot (measured: 512 beats 256 and 1024 here).
+N_BLOCK = 512
+
 _I32 = jnp.int32
 _F32 = jnp.float32
 
 
-def prepare_geometry_bwd(sampling_points, attention_weights, shapes, padding_mode, align_corners):
-    """Backward geometry prep: like pallas_fwd.prepare_geometry but with the
-    attention weight kept separate (the weights grad needs unweighted
-    samples, kernels.py:492-503) and the OOB masks exposed (the derivative
-    factors are +/- masks, kernels.py:509-537).
-
-    Returns 13 arrays, each [B, H, L, P, N]:
-        x0c, x1c, y0c, y1c      int32 clamped corners
-        vx0, vx1                masked x-lerp weights (no attention weight)
-        uy0, uy1                masked y-lerp weights (no attention weight)
-        wt                      attention weight
-        mx0, mx1, my0, my1      OOB masks (ones in border mode)
-    """
-    pts = sampling_points.astype(_F32)
-    wts = attention_weights.astype(_F32)
-    hs = jnp.asarray(shapes[:, 0], _F32)[None, None, None, :, None]
-    ws = jnp.asarray(shapes[:, 1], _F32)[None, None, None, :, None]
-    x = pts[..., 0]
-    y = pts[..., 1]
-    if align_corners:
-        x = x * (ws - 1.0)
-        y = y * (hs - 1.0)
-    else:
-        x = x * ws - 0.5
-        y = y * hs - 0.5
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    dx = (x - x0f).astype(_F32)
-    dy = (y - y0f).astype(_F32)
-    x0 = x0f.astype(_I32)
-    y0 = y0f.astype(_I32)
-    wi = ws.astype(_I32)
-    hi = hs.astype(_I32)
-
-    shp = x0.shape
-    if padding_mode == "zeros":
-        mx0 = ((x0 >= 0) & (x0 < wi)).astype(_F32)
-        mx1 = ((x0 + 1 >= 0) & (x0 + 1 < wi)).astype(_F32)
-        my0 = ((y0 >= 0) & (y0 < hi)).astype(_F32)
-        my1 = ((y0 + 1 >= 0) & (y0 + 1 < hi)).astype(_F32)
-    else:
-        mx0 = mx1 = my0 = my1 = jnp.ones(shp, _F32)
-
-    vx0 = (1.0 - dx) * mx0
-    vx1 = dx * mx1
-    uy0 = (1.0 - dy) * my0
-    uy1 = dy * my1
-
-    zero = jnp.zeros((), _I32)
-    x0c = jnp.clip(x0, zero, wi - 1)
-    x1c = jnp.clip(x0 + 1, zero, wi - 1)
-    y0c = jnp.clip(y0, zero, hi - 1)
-    y1c = jnp.clip(y0 + 1, zero, hi - 1)
-
-    wt = jnp.broadcast_to(wts, shp)
-
-    def tokl(t):
-        return t.transpose(0, 2, 3, 4, 1)  # [B,N,H,L,P] -> [B,H,L,P,N]
-
-    return tuple(map(tokl, (
-        x0c, x1c, y0c, y1c, vx0, vx1, uy0, uy1, wt, mx0, mx1, my0, my1
-    )))
-
-
 def _bwd_kernel(
-    x0c_ref, x1c_ref, y0c_ref, y1c_ref, vx0_ref, vx1_ref, uy0_ref, uy1_ref,
-    wt_ref, mx0_ref, mx1_ref, my0_ref, my1_ref,
+    x_ref, y_ref, wt_ref,
     og_ref, ecat_ref,
     wg_ref, gx_ref, gy_ref, ig_ref,
     *, level_dims, level_offs, pitches, ipad, C, nblk, n_split,
-    align_corners, exact,
+    padding_mode, align_corners, exact,
 ):
     L = len(level_dims)
     P = wt_ref.shape[3]
@@ -166,20 +106,15 @@ def _bwd_kernel(
             ecat_ref[0, 0], og_cat, dn_c, preferred_element_type=_F32
         )
 
-    x0c = x0c_ref[0, 0]
-    x1c = x1c_ref[0, 0]
-    y0c = y0c_ref[0, 0]
-    y1c = y1c_ref[0, 0]
-    vx0 = vx0_ref[0, 0]
-    vx1 = vx1_ref[0, 0]
-    uy0 = uy0_ref[0, 0]
-    uy1 = uy1_ref[0, 0]
+    xin = x_ref[0, 0]
+    yin = y_ref[0, 0]
     wt = wt_ref[0, 0]
-    mx0 = mx0_ref[0, 0]
-    mx1 = mx1_ref[0, 0]
-    my0 = my0_ref[0, 0]
-    my1 = my1_ref[0, 0]
 
+    # One fused pass per (level, point): the per-point gradient reductions
+    # and the rematerialized A level blocks (for img_grad) share the same
+    # 2-sparse factors, and the A outer products are independent of G so
+    # the scheduler can overlap them with the G contraction above.
+    blocks = []
     for li, (h, w) in enumerate(level_dims):
         w8 = pitches[li]
         off = level_offs[li]
@@ -190,18 +125,24 @@ def _bwd_kernel(
         else:
             xsc = np.float32(w)
             ysc = np.float32(h)
+        acc = None
         for p in range(P):
+            (x0c, x1c, y0c, y1c, vx0, vx1, uy0, uy1,
+             mx0, mx1, my0, my1) = point_geometry(
+                xin[li, p][None], yin[li, p][None], h, w,
+                padding_mode, align_corners,
+            )
             vx = make_sparse_factor(
-                x0c[li, p], x1c[li, p], vx0[li, p], vx1[li, p], w, w8, nblk
+                x0c[0], x1c[0], vx0[0], vx1[0], w, w8, nblk
             )
             vxd = make_sparse_factor(
-                x0c[li, p], x1c[li, p], -mx0[li, p], mx1[li, p], w, w8, nblk
+                x0c[0], x1c[0], (-mx0)[0], mx1[0], w, w8, nblk
             )
             wy = make_sparse_factor(
-                y0c[li, p], y1c[li, p], uy0[li, p], uy1[li, p], h, h, nblk
+                y0c[0], y1c[0], uy0[0], uy1[0], h, h, nblk
             )
             wyd = make_sparse_factor(
-                y0c[li, p], y1c[li, p], -my0[li, p], my1[li, p], h, h, nblk
+                y0c[0], y1c[0], (-my0)[0], my1[0], h, h, nblk
             )
             rowy = jnp.sum(Gl * vx[None], axis=1)    # [h, nblk]
             rowyd = jnp.sum(Gl * vxd[None], axis=1)  # [h, nblk]
@@ -209,14 +150,10 @@ def _bwd_kernel(
             wtp = wt[li, p]
             gx_ref[0, 0, li, p] = xsc * wtp * jnp.sum(wy * rowyd, axis=0)
             gy_ref[0, 0, li, p] = ysc * wtp * jnp.sum(wyd * rowy, axis=0)
-
-    # img grad: rematerialize the folded A and contract over the query block
-    blocks = build_a_block(
-        x0c, x1c, y0c, y1c, vx0, vx1,
-        jnp.stack([uy0[:, p] * wt[:, p] for p in range(P)], 1),
-        jnp.stack([uy1[:, p] * wt[:, p] for p in range(P)], 1),
-        level_dims=level_dims, pitches=pitches, nblk=nblk,
-    )
+            # weighted A contribution (img_grad remat), reusing wy/vx
+            term = (wy * wtp[None])[:, None, :] * vx[None, :, :]
+            acc = term if acc is None else acc + term
+        blocks.append(acc.reshape(h * w8, nblk))
     dn_q = (((1,), (0,)), ((), ()))
     if exact:
         a_cat = assemble_a_parts(
@@ -276,10 +213,7 @@ def _pallas_bwd(
     level_offs, pitches, ipad = level_layout(shapes)
     level_dims = tuple((int(h), int(w)) for h, w in shapes)
 
-    geom = prepare_geometry_bwd(
-        sampling_points, attention_weights, shapes, padding_mode,
-        align_corners,
-    )
+    geom = prepare_inputs(sampling_points, attention_weights)
     n_pad = _round_up(N, N_BLOCK)
     if n_pad != N:
         pad = [(0, 0)] * 4 + [(0, n_pad - N)]
@@ -343,6 +277,7 @@ def _pallas_bwd(
         C=C,
         nblk=N_BLOCK,
         n_split=n_split,
+        padding_mode=padding_mode,
         align_corners=bool(align_corners),
         exact=exact,
     )
@@ -350,7 +285,7 @@ def _pallas_bwd(
     wg, gx, gy, ig = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pt_spec() for _ in range(13)] + [og_spec(), e_spec()],
+        in_specs=[pt_spec() for _ in range(3)] + [og_spec(), e_spec()],
         out_specs=[pt_spec(), pt_spec(), pt_spec(), ig_spec()],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, L, P, n_pad), _F32),

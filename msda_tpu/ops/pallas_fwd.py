@@ -24,9 +24,10 @@ A is built on the VPU without any gather/scatter: per (level, point) the
 axes (h and w), then combined into the [h*w, 128] level slice with a
 sublane ``repeat`` (y-major) times a ``tile`` (x-minor) — an outer product
 of 2-sparse vectors, i.e. exactly the 4 bilinear corners.  Border clamping
-and zeros-mode masking are pre-folded into the per-point scalars at the
-XLA level (``prepare_geometry``), matching grid_sample semantics
-(reference kernels.py:120-252).
+and zeros-mode masking are computed in-kernel from the raw coordinates
+(``point_geometry`` — a handful of [P, nblk]-sized VPU ops per block),
+matching grid_sample semantics (reference kernels.py:120-252); only the
+raw (x, y, weight) arrays ever touch HBM.
 
 Precision: the MXU is bf16-native.  f32 inputs use exact two-way bf16
 splits of both operands, contracted as ONE stacked dot whose output column
@@ -59,13 +60,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "pallas_multiscale_deformable_attention",
-    "prepare_geometry",
+    "prepare_inputs",
     "level_layout",
     "build_e_matrix",
 ]
 
 # queries per grid step (lane width).
-N_BLOCK = 512
+N_BLOCK = 1024
 
 # Module default for interpreter mode; entry points take an explicit
 # ``interpret=`` argument (tests pass it instead of mutating this).
@@ -130,71 +131,77 @@ def build_e_matrix(img, shapes):
     return e
 
 
-def prepare_geometry(
-    sampling_points, attention_weights, shapes, padding_mode, align_corners,
-):
-    """Elementwise geometry prep at the XLA level (fuses for free).
+def prepare_inputs(sampling_points, attention_weights):
+    """Transpose the raw per-point inputs to the kernel's query-last layout.
 
-    Returns per-point tensors, each [B, H, L, P, N] (query-last for the
-    kernel's lane-major layout):
-        x0c, x1c, y0c, y1c   int32 clamped corner indices (border semantics,
-                             reference kernels.py:166-169)
-        vx0, vx1             x-lerp weights, zeros-mode OOB masks folded
-                             (kernels.py:156-162)
-        wy0, wy1             y-lerp weights with zeros-mask AND the
-                             attention weight folded in
+    Returns (x, y, wt), each [B, H, L, P, N] f32.  All geometry arithmetic
+    (unnormalize, floor, clamp, masks, lerp weights) happens *inside* the
+    kernels from these three arrays: it is a handful of [P, nblk]-sized VPU
+    ops per block, and keeping it in-kernel avoids materializing 8-13
+    geometry tensors of the full [B, H, L, P, N] size in HBM (which
+    dominated both the op's memory footprint and its input bandwidth).
     """
-    B, N, H, L, P = attention_weights.shape
     pts = sampling_points.astype(_F32)
     wts = attention_weights.astype(_F32)
 
-    hs = jnp.asarray(shapes[:, 0], _F32)[None, None, None, :, None]
-    ws = jnp.asarray(shapes[:, 1], _F32)[None, None, None, :, None]
-    x = pts[..., 0]
-    y = pts[..., 1]
+    def tokl(t):
+        return t.transpose(0, 2, 3, 4, 1)  # [B,N,H,L,P] -> [B,H,L,P,N]
+
+    return tokl(pts[..., 0]), tokl(pts[..., 1]), tokl(wts)
+
+
+def point_geometry(x, y, h, w, padding_mode, align_corners):
+    """grid_sample geometry for one (level, point) slice, in-kernel.
+
+    x, y: [1, nblk] f32 normalized coords.  h, w: static ints.  Returns
+    (x0c, x1c, y0c, y1c int32 clamped corners; vx0, vx1, uy0, uy1 f32
+    masked lerp factors WITHOUT the attention weight; mx0, mx1, my0, my1
+    masks).  Mirrors the reference unnormalize/mask/clamp semantics
+    (kernels.py:141-169); all constants explicitly dtyped.
+    """
+    hf = np.float32(h)
+    wf = np.float32(w)
     if align_corners:
-        x = x * (ws - 1.0)
-        y = y * (hs - 1.0)
+        xp = x * (wf - np.float32(1))
+        yp = y * (hf - np.float32(1))
     else:
-        x = x * ws - 0.5
-        y = y * hs - 0.5
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    dx = (x - x0f).astype(_F32)
-    dy = (y - y0f).astype(_F32)
+        xp = x * wf - np.float32(0.5)
+        yp = y * hf - np.float32(0.5)
+    x0f = jnp.floor(xp)
+    y0f = jnp.floor(yp)
+    dx = xp - x0f
+    dy = yp - y0f
     x0 = x0f.astype(_I32)
     y0 = y0f.astype(_I32)
-    wi = ws.astype(_I32)
-    hi = hs.astype(_I32)
 
+    one = np.float32(1)
     if padding_mode == "zeros":
+        wi = np.int32(w)
+        hi = np.int32(h)
         mx0 = ((x0 >= 0) & (x0 < wi)).astype(_F32)
         mx1 = ((x0 + 1 >= 0) & (x0 + 1 < wi)).astype(_F32)
         my0 = ((y0 >= 0) & (y0 < hi)).astype(_F32)
         my1 = ((y0 + 1 >= 0) & (y0 + 1 < hi)).astype(_F32)
     else:
-        one = jnp.ones((), _F32)
-        mx0 = mx1 = my0 = my1 = one
+        shp = x.shape
+        mx0 = mx1 = my0 = my1 = jnp.full(shp, one, _F32)
 
-    vx0 = (1.0 - dx) * mx0
+    vx0 = (one - dx) * mx0
     vx1 = dx * mx1
-    wy0 = (1.0 - dy) * my0 * wts
-    wy1 = dy * my1 * wts
+    uy0 = (one - dy) * my0
+    uy1 = dy * my1
 
-    zero = jnp.zeros((), _I32)
-    x0c = jnp.clip(x0, zero, wi - 1)
-    x1c = jnp.clip(x0 + 1, zero, wi - 1)
-    y0c = jnp.clip(y0, zero, hi - 1)
-    y1c = jnp.clip(y0 + 1, zero, hi - 1)
-
-    def tokl(t):
-        return t.transpose(0, 2, 3, 4, 1)  # [B,N,H,L,P] -> [B,H,L,P,N]
-
-    return tuple(map(tokl, (x0c, x1c, y0c, y1c, vx0, vx1, wy0, wy1)))
+    zero = np.int32(0)
+    x0c = jnp.clip(x0, zero, np.int32(w - 1))
+    x1c = jnp.clip(x0 + np.int32(1), zero, np.int32(w - 1))
+    y0c = jnp.clip(y0, zero, np.int32(h - 1))
+    y1c = jnp.clip(y0 + np.int32(1), zero, np.int32(h - 1))
+    return x0c, x1c, y0c, y1c, vx0, vx1, uy0, uy1, mx0, mx1, my0, my1
 
 
 def _pad_queries(geom, n, n_pad):
-    """Pad the query axis; padded queries carry zero weights -> zero A cols."""
+    """Pad the query axis; padded queries carry zero attention weights, so
+    their A columns are zero and their outputs are discarded."""
     if n_pad == n:
         return geom
     pad = [(0, 0)] * 4 + [(0, n_pad - n)]
@@ -214,29 +221,37 @@ def make_sparse_factor(idx0, idx1, v0, v1, extent, pitch, nblk):
 
 
 def build_a_block(
-    x0c, x1c, y0c, y1c, vx0, vx1, wy0, wy1, *, level_dims, pitches, nblk,
+    x, y, wt, *, level_dims, pitches, nblk, padding_mode, align_corners,
 ):
     """Build the folded interpolation matrix for one query block.
 
-    Inputs are [L, P, nblk] slices (one (b, h) pair, one query block).
-    Returns a list of per-level [h*w8, nblk] f32 blocks (w8 = padded pitch,
-    see ``level_layout``): A_l[(y*w8 + x), q] = sum_p wy(y) * vx(x), the
+    ``x, y, wt`` are [L, P, nblk] slices (one (b, h) pair, one query
+    block) of raw normalized coordinates and attention weights; geometry
+    is computed in place (see ``point_geometry``).  Returns a list of
+    per-level [h*w8, nblk] f32 blocks (w8 = padded pitch, see
+    ``level_layout``): A_l[(y*w8 + x), q] = sum_p wy(y) * vx(x), the
     4-corner bilinear coefficients of every point of q at this level,
     attention weights folded in.  Shared by the forward and backward
     kernels (the backward re-materializes A instead of saving it — the
     reference's memory-parity design, kernels.py:421).
     """
     out = []
-    P = x0c.shape[1]
+    P = x.shape[1]
     for li, (h, w) in enumerate(level_dims):
         w8 = pitches[li]
         acc = None
         for p in range(P):
+            (x0c, x1c, y0c, y1c, vx0, vx1, uy0, uy1,
+             _, _, _, _) = point_geometry(
+                x[li, p][None], y[li, p][None], h, w,
+                padding_mode, align_corners,
+            )
+            wtp = wt[li, p][None]
             wy = make_sparse_factor(
-                y0c[li, p], y1c[li, p], wy0[li, p], wy1[li, p], h, h, nblk
+                y0c[0], y1c[0], (uy0 * wtp)[0], (uy1 * wtp)[0], h, h, nblk
             )  # [h, nblk]
             vx = make_sparse_factor(
-                x0c[li, p], x1c[li, p], vx0[li, p], vx1[li, p], w, w8, nblk
+                x0c[0], x1c[0], vx0[0], vx1[0], w, w8, nblk
             )  # [w8, nblk]
             # outer product of the 2-sparse factors via broadcasting in
             # [h, w8, nblk] (w8 is sublane-aligned so the final reshape to
@@ -333,17 +348,18 @@ def assemble_a_parts(blocks, *, ipad, nblk, n_split, exact):
 
 
 def _fwd_kernel(
-    # refs: geometry [1,1,L,P,nblk] x8, e_wide [1,1,ipad,n_split*C]
-    x0c_ref, x1c_ref, y0c_ref, y1c_ref, vx0_ref, vx1_ref, wy0_ref, wy1_ref,
+    # refs: x, y, wt [1,1,L,P,nblk]; e_wide [1,1,n_split*ipad,n_split*C]
+    x_ref, y_ref, wt_ref,
     ewide_ref,
     out_ref,
     *, level_dims, level_offs, pitches, ipad, C, nblk, n_split, exact,
+    padding_mode, align_corners,
 ):
-    """One grid step: one (b, h) pyramid slice x one block of 128 queries."""
+    """One grid step: one (b, h) pyramid slice x one block of queries."""
     blocks = build_a_block(
-        x0c_ref[0, 0], x1c_ref[0, 0], y0c_ref[0, 0], y1c_ref[0, 0],
-        vx0_ref[0, 0], vx1_ref[0, 0], wy0_ref[0, 0], wy1_ref[0, 0],
+        x_ref[0, 0], y_ref[0, 0], wt_ref[0, 0],
         level_dims=level_dims, pitches=pitches, nblk=nblk,
+        padding_mode=padding_mode, align_corners=align_corners,
     )
     dn = (((0,), (0,)), ((), ()))
     a_cat = assemble_a_parts(
@@ -384,10 +400,7 @@ def _pallas_fwd(
     level_offs, pitches, ipad = level_layout(shapes)
     level_dims = tuple((int(h), int(w)) for h, w in shapes)
 
-    geom = prepare_geometry(
-        sampling_points, attention_weights, shapes, padding_mode,
-        align_corners,
-    )
+    geom = prepare_inputs(sampling_points, attention_weights)
     n_pad = _round_up(N, N_BLOCK)
     geom = _pad_queries(geom, N, n_pad)
 
@@ -433,12 +446,14 @@ def _pallas_fwd(
         nblk=N_BLOCK,
         n_split=n_split,
         exact=exact,
+        padding_mode=padding_mode,
+        align_corners=bool(align_corners),
     )
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pt_spec() for _ in range(8)] + [e_spec()],
+        in_specs=[pt_spec() for _ in range(3)] + [e_spec()],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, n_pad, C), _F32),
         compiler_params=pltpu.CompilerParams(

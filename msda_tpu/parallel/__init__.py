@@ -6,6 +6,7 @@ from .sharding import (
     shard_msda_args,
     sharded_multiscale_deformable_attention,
 )
+from .matcher import auction_assignment, matching_cost
 from .train import detection_loss, make_train_step, replicate_params, shard_params
 
 __all__ = [
@@ -17,4 +18,6 @@ __all__ = [
     "make_train_step",
     "replicate_params",
     "shard_params",
+    "auction_assignment",
+    "matching_cost",
 ]

@@ -22,20 +22,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["detection_loss", "make_train_step", "replicate_params", "shard_params"]
 
 
-def detection_loss(outputs, targets):
-    """Simple fixed-assignment detection loss.
+def detection_loss(outputs, targets, matcher: str = "fixed"):
+    """Detection loss (classification CE + L1 box, arXiv:2010.04159 §4.1).
 
-    targets: dict(labels=[B, N] int (num_classes = background last),
-    boxes=[B, N, 4] cxcywh in [0, 1], mask=[B, N] 1.0 for real objects).
-    Queries are matched to targets by index (teacher-forced assignment);
-    Hungarian matching is a planned extension — the loss structure
-    (classification CE + L1 box) follows arXiv:2010.04159 §4.1.
+    targets: dict(labels=[B, M] int (num_classes = background last),
+    boxes=[B, M, 4] cxcywh in [0, 1], mask=[B, M] 1.0 for real objects).
+
+    matcher:
+        "fixed":   queries matched to targets by index (teacher-forced).
+        "auction": Hungarian-style minimum-cost bipartite matching via the
+                   jittable auction solver (parallel.matcher), as in the
+                   original DETR/Deformable-DETR training recipe.
     """
     logits = outputs["logits"]
     boxes = outputs["boxes"]
     labels = targets["labels"]
     tboxes = targets["boxes"]
     mask = targets["mask"]
+
+    if matcher == "auction":
+        from .matcher import auction_assignment, matching_cost
+
+        def match_one(lg, bx, lb, tb, mk):
+            cost = matching_cost(lg, bx, lb, tb)
+            # masked-out targets must not steal queries: make them cheap
+            # everywhere equally (constant column -> arbitrary but harmless)
+            cost = jnp.where(mk[None, :] > 0, cost, 0.0)
+            return auction_assignment(cost, mk)
+
+        q_idx = jax.vmap(match_one)(logits, boxes, labels, tboxes, mask)
+        b_idx = jnp.arange(logits.shape[0])[:, None]
+        logits = logits[b_idx, q_idx]  # [B, M, K]
+        boxes = boxes[b_idx, q_idx]    # [B, M, 4]
+    elif matcher != "fixed":
+        raise ValueError(f"matcher must be 'fixed' or 'auction', got {matcher!r}")
 
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     l1 = jnp.abs(boxes - tboxes).sum(-1)

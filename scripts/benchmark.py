@@ -33,6 +33,11 @@ import numpy as np
 from msda_tpu.ops import multiscale_deformable_attention as msda
 from msda_tpu.utils import timeit_op, device_memory_stats
 
+# NOTE on process structure: exactly one process can hold the TPU, and
+# JAX's peak_bytes_in_use is monotonic per process.  So the memory probes
+# (a) run in fresh subprocesses and (b) must run BEFORE this process
+# initializes the device for the timing sweep.
+
 SHAPES = np.array([(64, 64), (32, 32), (16, 16), (8, 8)], np.int32)
 B, H, C, P = 4, 8, 32, 4
 L = len(SHAPES)
@@ -84,13 +89,14 @@ def bench_fwdbwd(impl, n, dtype=jnp.float32, iters=30):
 
 
 def _memory_probe(impl, n, dtype=jnp.float32):
-    """Peak device memory delta for one fwd+bwd (reference
-    scripts/benchmark.py:156-172 analogue).  Must run in a fresh process:
-    JAX's peak_bytes_in_use is monotonic over the process lifetime, so
-    in-process sweeps would report the stale global peak for every config
-    after the largest one (the reference resets peak stats via torch.cuda;
-    JAX has no reset API)."""
-    stats0 = device_memory_stats()
+    """Extra device memory for one fwd+bwd beyond the inputs (reference
+    scripts/benchmark.py:156-172 analogue).
+
+    Uses XLA's compiled memory analysis (temp + output buffers), which is
+    the compiler's exact allocation plan — this runtime's
+    device.memory_stats() returns None, so runtime peak deltas are
+    unavailable.  Runs in a fresh process so it can grab the device for
+    compilation even while a sweep parent exists."""
     img, pts, wts, og = make_data(n, dtype)
 
     @jax.jit
@@ -100,16 +106,25 @@ def _memory_probe(impl, n, dtype=jnp.float32):
         out, vjp = jax.vjp(f, img, pts, wts)
         return out, vjp(og)
 
-    r = run(img, pts, wts, og)
-    jax.block_until_ready(r)
-    stats1 = device_memory_stats()
-    if (
-        not stats0
-        or stats0.get("peak_bytes_in_use") is None
-        or stats1.get("peak_bytes_in_use") is None
-    ):
-        return float("nan")
-    return (stats1["peak_bytes_in_use"] - stats0["bytes_in_use"]) / 1e6
+    try:
+        compiled = run.lower(img, pts, wts, og).compile()
+        ma = compiled.memory_analysis()
+        if ma is None:
+            return float("nan")
+        return (ma.temp_size_in_bytes + ma.output_size_in_bytes) / 1e6
+    except Exception:
+        # runtime-stats fallback (works on runtimes with memory_stats)
+        stats0 = device_memory_stats()
+        r = run(img, pts, wts, og)
+        jax.block_until_ready(r)
+        stats1 = device_memory_stats()
+        if (
+            not stats0
+            or stats0.get("peak_bytes_in_use") is None
+            or stats1.get("peak_bytes_in_use") is None
+        ):
+            return float("nan")
+        return (stats1["peak_bytes_in_use"] - stats0["bytes_in_use"]) / 1e6
 
 
 def bench_memory(impl, n, dtype=jnp.float32):
@@ -129,10 +144,7 @@ def bench_memory(impl, n, dtype=jnp.float32):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--impls", nargs="+",
-                    default=["pallas", "reference"]
-                    if jax.default_backend() == "tpu"
-                    else ["reference", "fused"])
+    ap.add_argument("--impls", nargs="+", default=None)
     ap.add_argument("--queries", nargs="+", type=int,
                     default=[10, 100, 300, 900, 1000, 10000])
     ap.add_argument("--bf16", action="store_true",
@@ -144,22 +156,42 @@ def main():
     ap.add_argument("--out", default="outputs/benchmark_results.csv")
     args = ap.parse_args()
 
+    if args.impls is None:
+        # decided without touching jax in this process (the memory probes
+        # below must be able to grab the device first): TPU availability
+        # is probed by the first subprocess
+        args.impls = (
+            ["pallas", "reference"]
+            if os.environ.get("MSDA_BENCH_IMPLS", "tpu") == "tpu"
+            else ["reference", "fused"]
+        )
+
     if args.memory_probe:
         impl, n, dt = args.memory_probe
         mem = _memory_probe(impl, int(n), jnp.dtype(dt))
         print(f"MEMORY_MB {mem}")
         return
 
-    rows = []
     configs = [(impl, jnp.float32) for impl in args.impls]
     if args.bf16:
         configs.append(("pallas", jnp.bfloat16))
+
+    # memory probes first — before this process touches the device
+    mems = {}
+    if not args.no_memory:
+        for impl, dtype in configs:
+            for n in args.queries:
+                mems[(impl, dtype, n)] = bench_memory(impl, n, dtype)
+                print(f"mem probe {impl} {jnp.dtype(dtype).name} N={n}: "
+                      f"{mems[(impl, dtype, n)]:.1f} MB", flush=True)
+
+    rows = []
     for impl, dtype in configs:
         dt = jnp.dtype(dtype).name
         for n in args.queries:
             t_f = bench_fwd(impl, n, dtype) * 1e3
             t_fb = bench_fwdbwd(impl, n, dtype) * 1e3
-            mem = float("nan") if args.no_memory else bench_memory(impl, n, dtype)
+            mem = mems.get((impl, dtype, n), float("nan"))
             rows.append(dict(impl=impl, dtype=dt, num_queries=n,
                              fwd_ms=round(t_f, 3), fwdbwd_ms=round(t_fb, 3),
                              peak_mem_mb=round(mem, 1)))

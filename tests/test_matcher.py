@@ -1,0 +1,70 @@
+"""Auction assignment vs scipy's exact Hungarian solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+scipy_opt = pytest.importorskip("scipy.optimize")
+
+from msda_tpu.parallel.matcher import auction_assignment, matching_cost
+
+
+@pytest.mark.parametrize("n,m,seed", [(20, 8, 0), (50, 50, 1), (300, 30, 2)])
+def test_auction_matches_scipy(n, m, seed):
+    rng = np.random.default_rng(seed)
+    cost = rng.random((n, m)).astype(np.float32)
+    got = np.asarray(auction_assignment(jnp.asarray(cost), eps=1e-5))
+    rows, cols = scipy_opt.linear_sum_assignment(cost)
+    want = np.empty(m, np.int64)
+    want[cols] = rows
+    # assignments must be a valid matching with (near-)optimal total cost
+    assert len(set(got.tolist())) == m, "duplicate query assignment"
+    got_cost = cost[got, np.arange(m)].sum()
+    opt_cost = cost[want, np.arange(m)].sum()
+    assert got_cost <= opt_cost + m * 1e-4, (got_cost, opt_cost)
+
+
+def test_auction_with_mask():
+    rng = np.random.default_rng(3)
+    cost = rng.random((10, 6)).astype(np.float32)
+    mask = jnp.asarray([1, 1, 0, 1, 0, 1], jnp.float32)
+    got = np.asarray(auction_assignment(jnp.asarray(cost), mask, eps=1e-5))
+    real = [i for i in range(6) if float(mask[i]) > 0]
+    assert len({got[i] for i in real}) == len(real)
+
+
+def test_auction_under_jit_vmap():
+    rng = np.random.default_rng(4)
+    costs = jnp.asarray(rng.random((3, 16, 5)), jnp.float32)
+    f = jax.jit(jax.vmap(lambda c: auction_assignment(c, eps=1e-4)))
+    out = np.asarray(f(costs))
+    assert out.shape == (3, 5)
+    for b in range(3):
+        assert len(set(out[b].tolist())) == 5
+
+
+def test_detection_loss_auction_matches_permuted_targets():
+    """With a permutation-matched prediction set, the auction loss must be
+    (near) permutation-invariant while the fixed loss is not."""
+    from msda_tpu.parallel.train import detection_loss
+
+    rng = np.random.default_rng(5)
+    B, M, K = 2, 6, 5
+    labels = jnp.asarray(rng.integers(0, K - 1, (B, M)), jnp.int32)
+    tboxes = jnp.asarray(rng.random((B, M, 4)), jnp.float32)
+    mask = jnp.ones((B, M), jnp.float32)
+    # predictions = targets but shuffled along the query axis
+    perm = rng.permutation(M)
+    logits = jnp.asarray(
+        10.0 * jax.nn.one_hot(labels[:, perm], K), jnp.float32
+    )
+    boxes = tboxes[:, perm]
+    outputs = {"logits": logits, "boxes": boxes}
+    targets = {"labels": labels, "boxes": tboxes, "mask": mask}
+
+    loss_auction = float(detection_loss(outputs, targets, matcher="auction"))
+    loss_fixed = float(detection_loss(outputs, targets, matcher="fixed"))
+    # auction finds the permutation: box L1 ~ 0, CE ~ 0
+    assert loss_auction < 0.1, loss_auction
+    assert loss_fixed > loss_auction + 0.5
