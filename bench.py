@@ -47,7 +47,7 @@ def main():
 
     # large n amortizes the per-dispatch tunnel overhead (~30 ms/dispatch
     # measured), matching the reference's warmup=100/rep=1000 methodology
-    t = timeit_op(step, (img, pts, jnp.float32(0)), n=60, repeats=3)
+    t = timeit_op(step, (img, pts, jnp.float32(0)), n=150, repeats=3)
     ms = t * 1e3
     baseline_ms = 22.78
     print(json.dumps({

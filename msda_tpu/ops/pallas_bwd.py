@@ -167,26 +167,31 @@ def _bwd_kernel(
         # A parts stacked along the contracted query axis (columns), og
         # parts column-stacked then row-replicated — the same complete
         # split-product trick as the forward (pallas_fwd.build_e_wide),
-        # transposed: out column block k = (sum_s A_s) @ og_k.
-        a_parts = [split_bf16(blk, n_split) for blk in blocks]
-        tail = ipad - sum(b.shape[0] for b in blocks)
-        cols = []
-        for k in range(n_split):
-            part = jnp.concatenate([pb[k] for pb in a_parts], axis=0)
-            if tail:
-                part = jnp.pad(part, [(0, tail), (0, 0)])
-            cols.append(part)
-        a_catq = jnp.concatenate(cols, axis=1)  # [ipad, n_split*nblk]
+        # transposed: out column block k = (sum_s A_s) @ og_k.  One dot
+        # per level so the MXU overlaps the VPU work above.
         og_cols = jnp.concatenate(og_parts, axis=1)  # [nblk, n_split*C]
-        og_wide = jnp.concatenate(
-            [og_cols] * n_split, axis=0
+        og_wide = (
+            og_cols if n_split == 1
+            else jnp.concatenate([og_cols] * n_split, axis=0)
         )  # [n_split*nblk, n_split*C]
-        igw = jax.lax.dot_general(
-            a_catq, og_wide, dn_q, preferred_element_type=_F32
-        )  # [ipad, n_split*C]
-        ig = igw[:, :C]
-        for k in range(1, n_split):
-            ig = ig + igw[:, k * C:(k + 1) * C]
+        ig_rows = []
+        for li, blk in enumerate(blocks):
+            parts = split_bf16(blk, n_split)
+            a_lq = (
+                parts[0] if n_split == 1
+                else jnp.concatenate(parts, axis=1)
+            )  # [rows, n_split*nblk]
+            igw = jax.lax.dot_general(
+                a_lq, og_wide, dn_q, preferred_element_type=_F32
+            )  # [rows, n_split*C]
+            ig_l = igw[:, :C]
+            for k in range(1, n_split):
+                ig_l = ig_l + igw[:, k * C:(k + 1) * C]
+            ig_rows.append(ig_l)
+        tail = ipad - sum(b.shape[0] for b in blocks)
+        if tail:
+            ig_rows.append(jnp.zeros((tail, C), _F32))
+        ig = jnp.concatenate(ig_rows, axis=0)
 
     @pl.when(nb == 0)
     def _():

@@ -362,20 +362,42 @@ def _fwd_kernel(
         padding_mode=padding_mode, align_corners=align_corners,
     )
     dn = (((0,), (0,)), ((), ()))
-    a_cat = assemble_a_parts(
-        blocks, ipad=ipad, nblk=nblk, n_split=n_split, exact=exact
-    )
     if exact:
         # exact path (interpreter / debugging): f32 A, one highest dot
+        a_cat = assemble_a_parts(
+            blocks, ipad=ipad, nblk=nblk, n_split=n_split, exact=True
+        )
         out_ref[0, 0] = jax.lax.dot_general(
             a_cat, ewide_ref[0, 0], dn,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=_F32,
         )
         return
-    o = jax.lax.dot_general(
-        a_cat, ewide_ref[0, 0], dn, preferred_element_type=_F32
-    )  # [nblk, n_split*C]
+    # One dot per level, accumulated: level l's dot only needs level l's
+    # A block, so the MXU can overlap level l's contraction with the VPU
+    # building level l+1 (a single whole-pyramid dot would serialize the
+    # entire build before the first MXU pass).  E rows outside the levels
+    # are zero and are never touched here.
+    o = None
+    ew = ewide_ref[0, 0]
+    for li, blk in enumerate(blocks):
+        off = level_offs[li]
+        rows = blk.shape[0]
+        parts = split_bf16(blk, n_split)
+        a_l = (
+            parts[0] if n_split == 1
+            else jnp.concatenate(parts, axis=0)
+        )  # [n_split*rows, nblk]
+        e_l = (
+            ew[off:off + rows, :] if n_split == 1
+            else jnp.concatenate(
+                [ew[k * ipad + off:k * ipad + off + rows, :]
+                 for k in range(n_split)],
+                axis=0,
+            )
+        )  # [n_split*rows, n_split*C]
+        d = jax.lax.dot_general(a_l, e_l, dn, preferred_element_type=_F32)
+        o = d if o is None else o + d
     if n_split > 1:
         acc = o[:, :C]
         for k in range(1, n_split):
