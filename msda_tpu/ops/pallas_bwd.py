@@ -32,9 +32,15 @@ which is exactly the analytic derivative of the separable bilinear lerp.
 The segmented x-reductions are free-form reshapes because levels are laid
 out at sublane-padded pitch (see pallas_fwd.level_layout).
 
-Precision follows the forward: f32 inputs use exact two-way bf16 splits of
-E / A / out_grad with 3 MXU passes per contraction (~2^-17 relative);
-bf16 inputs use single passes.
+MXU precision schemes follow the forward (pallas_fwd.resolve_scheme):
+bf16 inputs use single passes; f32 default ("x3") uses exact 2-way bf16
+splits — the G dot packs all four part pairs into one K=4C=128
+contraction (see _g_dot), the img-grad dot keeps three cross terms
+(dropped term ~2^-18); f32 highest uses the MXU's native fp32
+contraction.  Both big contractions are oriented so a >=128 axis lands on
+the MXU lane dimension: the G dot streams M=ipad with N=nblk lanes, and
+the img-grad dot is emitted *transposed* (``ig^T[c, i]``, N=band-rows
+lanes) and untransposed once in the XLA epilogue.
 """
 
 from __future__ import annotations
@@ -50,13 +56,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_fwd import (
     INTERPRET,
     _round_up,
-    assemble_a_parts,
+    band_slabs,
     build_e_matrix,
     level_layout,
     make_sparse_factor,
     point_geometry,
     prepare_inputs,
-    resolve_n_split,
+    resolve_scheme,
     split_bf16,
     split_bf16_xla,
 )
@@ -64,57 +70,92 @@ from .pallas_fwd import (
 __all__ = ["pallas_msda_bwd"]
 
 # queries per grid step.  Smaller than the forward's: the backward holds
-# G [ipad, nblk] f32 plus the A parts concurrently, and larger blocks push
-# past the VMEM sweet spot (measured: 512 beats 256 and 1024 here).
+# G [ipad, nblk] f32 in VMEM alongside the band slabs, and larger blocks
+# push past the VMEM sweet spot (measured: 512 beats 256 and 1024 here).
 N_BLOCK = 512
+
+# y-rows per img-grad A slab (VMEM-bounded; see pallas_fwd.band_slabs)
+YB_BWD = 8
 
 _I32 = jnp.int32
 _F32 = jnp.float32
+_BF16 = jnp.bfloat16
+
+
+def _g_dot(ew, og, scheme, C):
+    """G[i, q] = sum_c E[i, c] * out_grad[q, c]  ->  [ipad, nblk] f32.
+
+    ``ew``: [ipad, 4C] bf16 ``[E_h | E_h | E_l | E_l]`` (x3) or
+    [ipad, C] (bf16/f32).  ``og``: [nblk, C] f32.
+
+    The contraction runs over the C axis, and C=32 is below the MXU's
+    128-wide K tile — so for the split scheme ALL FOUR part pairs are
+    column-stacked to fill K = 4C = 128 exactly and contracted as ONE dot:
+    full split quality at the same MXU cost as a single padded pass.
+    """
+    dn = (((1,), (1,)), ((), ()))
+    if scheme == "x3":
+        og_h, og_l = split_bf16(og)
+        og_cat = jnp.concatenate(
+            [og_h, og_l, og_h, og_l], axis=1)  # [nblk, 4C]
+        g = jax.lax.dot_general(ew, og_cat, dn, preferred_element_type=_F32)
+        return g, (og_h, og_l)
+    if scheme == "highest":
+        g = jax.lax.dot_general(
+            ew, og, dn, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=_F32)
+        return g, None
+    og_b = og.astype(_BF16)
+    g = jax.lax.dot_general(ew, og_b, dn, preferred_element_type=_F32)
+    return g, og_b
+
+
+def _ig_band_dot(a_band, og, og_parts, scheme, C):
+    """Transposed img-grad contribution of one A band: [C, rows] f32.
+
+    ig^T[c, i] = sum_q out_grad[q, c] * A[i, q]; the transposed output puts
+    the band's rows (a 128-multiple for every level except the deepest) on
+    the MXU lane axis.
+    """
+    dn = (((0,), (1,)), ((), ()))
+    if scheme == "x3":
+        og_h, og_l = og_parts
+        a_h, a_l = split_bf16(a_band)
+        og_cat = jnp.concatenate([og_h, og_l], axis=1)  # [nblk, 2C]
+        d1 = jax.lax.dot_general(
+            og_cat, a_h, dn, preferred_element_type=_F32)  # [2C, rows]
+        d2 = jax.lax.dot_general(
+            og_h, a_l, dn, preferred_element_type=_F32)
+        return d1[:C] + d1[C:] + d2
+    if scheme == "highest":
+        return jax.lax.dot_general(
+            og, a_band, dn, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=_F32)
+    return jax.lax.dot_general(
+        og_parts, a_band.astype(_BF16), dn, preferred_element_type=_F32)
 
 
 def _bwd_kernel(
     x_ref, y_ref, wt_ref,
     og_ref, ecat_ref,
     wg_ref, gx_ref, gy_ref, ig_ref,
-    *, level_dims, level_offs, pitches, ipad, C, nblk, n_split,
-    padding_mode, align_corners, exact,
+    *, level_dims, level_offs, pitches, ipad, C, nblk, scheme,
+    padding_mode, align_corners,
 ):
-    L = len(level_dims)
     P = wt_ref.shape[3]
     nb = pl.program_id(1)
-    hi_prec = jax.lax.Precision.HIGHEST
 
-    og = og_ref[0, 0].astype(_F32)              # [nblk, C]
-    dn_c = (((1,), (1,)), ((), ()))
-    if exact:
-        # interpreter/debug path: f32 operands, highest-precision dots
-        G = jax.lax.dot_general(
-            ecat_ref[0, 0], og, dn_c, precision=hi_prec,
-            preferred_element_type=_F32,
-        )
-    else:
-        og_parts = split_bf16(og, n_split)
-        # G[i, q] = sum_c E[i, c] * og[q, c] — a single dot stacked along
-        # the contracted C axis with all n^2 (E_i, og_j) part pairs
-        # (ecat column slab (i, j) holds E_i; see _pallas_bwd).  One dot,
-        # not a sum of dots: see pallas_fwd.assemble_a_parts.
-        og_cat = jnp.concatenate(
-            [og_parts[j] for _ in range(n_split) for j in range(n_split)],
-            axis=1,
-        )  # [nblk, n_split^2*C]
-        G = jax.lax.dot_general(
-            ecat_ref[0, 0], og_cat, dn_c, preferred_element_type=_F32
-        )
+    og = og_ref[0, 0].astype(_F32)  # [nblk, C]
+    G, og_parts = _g_dot(ecat_ref[0, 0], og, scheme, C)
 
     xin = x_ref[0, 0]
     yin = y_ref[0, 0]
     wt = wt_ref[0, 0]
 
     # One fused pass per (level, point): the per-point gradient reductions
-    # and the rematerialized A level blocks (for img_grad) share the same
-    # 2-sparse factors, and the A outer products are independent of G so
-    # the scheduler can overlap them with the G contraction above.
-    blocks = []
+    # and the rematerialized A band slabs (for img_grad) share the same
+    # 2-sparse factors.
+    ig_cols = []
     for li, (h, w) in enumerate(level_dims):
         w8 = pitches[li]
         off = level_offs[li]
@@ -125,7 +166,7 @@ def _bwd_kernel(
         else:
             xsc = np.float32(w)
             ysc = np.float32(h)
-        acc = None
+        wys_w, vxs = [], []
         for p in range(P):
             (x0c, x1c, y0c, y1c, vx0, vx1, uy0, uy1,
              mx0, mx1, my0, my1) = point_geometry(
@@ -133,84 +174,51 @@ def _bwd_kernel(
                 padding_mode, align_corners,
             )
             vx = make_sparse_factor(
-                x0c[0], x1c[0], vx0[0], vx1[0], w, w8, nblk
-            )
+                x0c[0], x1c[0], vx0[0], vx1[0], w, w8, nblk)
             vxd = make_sparse_factor(
-                x0c[0], x1c[0], (-mx0)[0], mx1[0], w, w8, nblk
-            )
+                x0c[0], x1c[0], (-mx0)[0], mx1[0], w, w8, nblk)
             wy = make_sparse_factor(
-                y0c[0], y1c[0], uy0[0], uy1[0], h, h, nblk
-            )
+                y0c[0], y1c[0], uy0[0], uy1[0], h, h, nblk)
             wyd = make_sparse_factor(
-                y0c[0], y1c[0], (-my0)[0], my1[0], h, h, nblk
-            )
+                y0c[0], y1c[0], (-my0)[0], my1[0], h, h, nblk)
             rowy = jnp.sum(Gl * vx[None], axis=1)    # [h, nblk]
             rowyd = jnp.sum(Gl * vxd[None], axis=1)  # [h, nblk]
             wg_ref[0, 0, li, p] = jnp.sum(wy * rowy, axis=0)
             wtp = wt[li, p]
             gx_ref[0, 0, li, p] = xsc * wtp * jnp.sum(wy * rowyd, axis=0)
             gy_ref[0, 0, li, p] = ysc * wtp * jnp.sum(wyd * rowy, axis=0)
-            # weighted A contribution (img_grad remat), reusing wy/vx
-            term = (wy * wtp[None])[:, None, :] * vx[None, :, :]
-            acc = term if acc is None else acc + term
-        blocks.append(acc.reshape(h * w8, nblk))
-    dn_q = (((1,), (0,)), ((), ()))
-    if exact:
-        a_cat = assemble_a_parts(
-            blocks, ipad=ipad, nblk=nblk, n_split=1, exact=True
-        )
-        ig = jax.lax.dot_general(
-            a_cat, og, dn_q, precision=hi_prec,
-            preferred_element_type=_F32,
-        )
-    else:
-        # A parts stacked along the contracted query axis (columns), og
-        # parts column-stacked then row-replicated — the same complete
-        # split-product trick as the forward (pallas_fwd.build_e_wide),
-        # transposed: out column block k = (sum_s A_s) @ og_k.  One dot
-        # per level so the MXU overlaps the VPU work above.
-        og_cols = jnp.concatenate(og_parts, axis=1)  # [nblk, n_split*C]
-        og_wide = (
-            og_cols if n_split == 1
-            else jnp.concatenate([og_cols] * n_split, axis=0)
-        )  # [n_split*nblk, n_split*C]
-        ig_rows = []
-        for li, blk in enumerate(blocks):
-            parts = split_bf16(blk, n_split)
-            a_lq = (
-                parts[0] if n_split == 1
-                else jnp.concatenate(parts, axis=1)
-            )  # [rows, n_split*nblk]
-            igw = jax.lax.dot_general(
-                a_lq, og_wide, dn_q, preferred_element_type=_F32
-            )  # [rows, n_split*C]
-            ig_l = igw[:, :C]
-            for k in range(1, n_split):
-                ig_l = ig_l + igw[:, k * C:(k + 1) * C]
-            ig_rows.append(ig_l)
-        tail = ipad - sum(b.shape[0] for b in blocks)
-        if tail:
-            ig_rows.append(jnp.zeros((tail, C), _F32))
-        ig = jnp.concatenate(ig_rows, axis=0)
+            wys_w.append(wy * wtp[None])
+            vxs.append(vx)
+        # img_grad remat: banded A slabs -> transposed MXU contractions
+        for roff, a_band in band_slabs(wys_w, vxs, h, w8, nblk, yb=YB_BWD):
+            ig_cols.append(_ig_band_dot(a_band, og, og_parts, scheme, C))
+
+    # assemble this step's [C, ipad] contribution as one SSA value and do a
+    # single accumulate into the per-(b, h) VMEM block: per-band RMWs on the
+    # output ref serialize the band dots (measured ~2x backward slowdown)
+    tail = ipad - sum(t.shape[1] for t in ig_cols)
+    if tail:
+        ig_cols.append(jnp.zeros((C, tail), _F32))
+    ig_step = jnp.concatenate(ig_cols, axis=1) if len(ig_cols) > 1 else ig_cols[0]
 
     @pl.when(nb == 0)
     def _():
-        ig_ref[0, 0] = ig
+        ig_ref[0, 0] = ig_step
 
     @pl.when(nb != 0)
     def _():
-        ig_ref[0, 0] = ig_ref[0, 0] + ig
+        ig_ref[0, 0] = ig_ref[0, 0] + ig_step
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "shapes_tuple", "padding_mode", "align_corners", "n_split", "interpret",
+        "shapes_tuple", "padding_mode", "align_corners", "scheme", "interpret",
     ),
 )
 def _pallas_bwd(
     img, sampling_points, attention_weights, out_grad,
-    *, shapes_tuple, padding_mode, align_corners, n_split, interpret,
+    *, shapes_tuple, padding_mode, align_corners, scheme, interpret,
 ):
     B, I, H, C = img.shape  # noqa: E741
     _, N, _, L, P, _ = sampling_points.shape
@@ -228,20 +236,22 @@ def _pallas_bwd(
     if n_pad != N:
         og = jnp.pad(og, [(0, 0), (0, 0), (0, n_pad - N), (0, 0)])
 
+    if interpret:
+        scheme = "highest"  # exact f32 path for the interpreter
+
     e = build_e_matrix(img, shapes)
-    exact = bool(interpret)
-    if exact:
-        e_cat = e  # exact f32 path (see _bwd_kernel)
+    if scheme == "x3":
+        e_h, e_l = split_bf16_xla(e)
+        # [E_h | E_h | E_l | E_l]: pairs with the kernel's og_cat to put
+        # all four split cross terms in one K=4C=128 contraction (_g_dot)
+        e_cat = jnp.concatenate([e_h, e_h, e_l, e_l], axis=3)
+        ecdim = 4 * C
+    elif scheme == "bf16":
+        e_cat = e.astype(_BF16)
         ecdim = C
     else:
-        e_parts = split_bf16_xla(e, n_split)
-        # column slab (i, j) holds E_i, paired with og_j by the kernel's
-        # og_cat — all n^2 part pairs of the G contraction in one dot
-        e_cat = jnp.concatenate(
-            [e_parts[i] for i in range(n_split) for _ in range(n_split)],
-            axis=3,
-        )
-        ecdim = n_split * n_split * C
+        e_cat = e
+        ecdim = C
 
     grid = (B * H, n_pad // N_BLOCK)
 
@@ -252,26 +262,21 @@ def _pallas_bwd(
             memory_space=pltpu.VMEM,
         )
 
-    def og_spec():
-        return pl.BlockSpec(
-            (1, 1, N_BLOCK, C),
-            lambda bh, nb: (bh // H, bh % H, nb, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    def e_spec():
-        return pl.BlockSpec(
-            (1, 1, ipad, ecdim),
-            lambda bh, nb: (bh // H, bh % H, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    def ig_spec():
-        return pl.BlockSpec(
-            (1, 1, ipad, C),
-            lambda bh, nb: (bh // H, bh % H, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+    og_spec = pl.BlockSpec(
+        (1, 1, N_BLOCK, C),
+        lambda bh, nb: (bh // H, bh % H, nb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    e_spec = pl.BlockSpec(
+        (1, 1, ipad, ecdim),
+        lambda bh, nb: (bh // H, bh % H, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ig_spec = pl.BlockSpec(
+        (1, 1, C, ipad),
+        lambda bh, nb: (bh // H, bh % H, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
 
     kernel = functools.partial(
         _bwd_kernel,
@@ -281,22 +286,21 @@ def _pallas_bwd(
         ipad=ipad,
         C=C,
         nblk=N_BLOCK,
-        n_split=n_split,
+        scheme=scheme,
         padding_mode=padding_mode,
         align_corners=bool(align_corners),
-        exact=exact,
     )
 
     wg, gx, gy, ig = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pt_spec() for _ in range(3)] + [og_spec(), e_spec()],
-        out_specs=[pt_spec(), pt_spec(), pt_spec(), ig_spec()],
+        in_specs=[pt_spec() for _ in range(3)] + [og_spec, e_spec],
+        out_specs=[pt_spec(), pt_spec(), pt_spec(), ig_spec],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, L, P, n_pad), _F32),
             jax.ShapeDtypeStruct((B, H, L, P, n_pad), _F32),
             jax.ShapeDtypeStruct((B, H, L, P, n_pad), _F32),
-            jax.ShapeDtypeStruct((B, H, ipad, C), _F32),
+            jax.ShapeDtypeStruct((B, H, C, ipad), _F32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -311,16 +315,16 @@ def _pallas_bwd(
     wg = fold_pts(wg)
     pts_grad = jnp.stack([fold_pts(gx), fold_pts(gy)], axis=-1)
 
-    # reassemble img grad from the padded-pitch layout
+    # reassemble img grad from the transposed padded-pitch layout
     parts = []
     for li, (h, w) in enumerate(level_dims):
         w8 = pitches[li]
         off = level_offs[li]
-        g = jax.lax.slice_in_dim(ig, off, off + h * w8, axis=2)
+        g = jax.lax.slice_in_dim(ig, off, off + h * w8, axis=3)
         if w8 != w:
-            g = g.reshape(B, H, h, w8, C)[:, :, :, :w, :].reshape(B, H, h * w, C)
+            g = g.reshape(B, H, C, h, w8)[..., :w].reshape(B, H, C, h * w)
         parts.append(g)
-    img_grad = jnp.concatenate(parts, axis=2).transpose(0, 2, 1, 3)
+    img_grad = jnp.concatenate(parts, axis=3).transpose(0, 3, 1, 2)
 
     return (
         img_grad.astype(img.dtype),
@@ -349,6 +353,6 @@ def pallas_msda_bwd(
             shapes_tuple=shapes_tuple,
             padding_mode=padding_mode,
             align_corners=bool(align_corners),
-            n_split=resolve_n_split(img.dtype, precision),
+            scheme=resolve_scheme(img.dtype, precision),
             interpret=bool(interpret),
         )

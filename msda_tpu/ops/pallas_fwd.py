@@ -8,36 +8,40 @@ reference Triton kernel, whose per-lane random loads at
 MSDA forward is ``out[q, c] = sum_{l,p} w * bilerp(img_l, pt)``.  On TPU the
 only fast data-dependent primitive is the MXU, so the whole op is recast as
 
-    out[q, :] = A[:, q]^T @ E            (one contraction per query block)
+    out[:, q] = E^T @ A[:, q]            (transposed fold)
 
-where ``E = img[b, :, h, :]`` is the full flattened pyramid slice
-``[I, C]`` resident in VMEM, and ``A[i, q]`` is the *folded interpolation
-matrix*: for each query q, its L*P sampling points contribute their four
-bilinear corner coefficients (attention weight folded in) at their flat
-pyramid rows.  This folds the level loop, the point loop, the 4-corner lerp
-and the attention-weighted sum into a single MXU contraction with K = I —
-the one matmul shape this chip runs efficiently (small-K formulations such
-as per-level separable stages measure 5-20x worse per flop here).
+where ``E = img[b, :, h, :]`` is the full flattened pyramid slice ``[I, C]``
+resident in VMEM, and ``A[i, q]`` is the *folded interpolation matrix*: for
+each query q, its L*P sampling points contribute their four bilinear corner
+coefficients (attention weight folded in) at their flat pyramid rows.  This
+folds the level loop, the point loop, the 4-corner lerp and the
+attention-weighted sum into MXU contractions whose cost is independent of P.
+
+Orientation matters: the dot is issued as ``dot(E [rows, C], A [rows, q])``
+so the 1024-query axis lands on the MXU's 128-lane output dimension (full
+utilization) and the small C=32 axis streams (M is not padded; measured).
 
 A is built on the VPU without any gather/scatter: per (level, point) the
 2-sparse row factors are materialized by iota comparison along the *small*
-axes (h and w), then combined into the [h*w, 128] level slice with a
-sublane ``repeat`` (y-major) times a ``tile`` (x-minor) — an outer product
-of 2-sparse vectors, i.e. exactly the 4 bilinear corners.  Border clamping
-and zeros-mode masking are computed in-kernel from the raw coordinates
-(``point_geometry`` — a handful of [P, nblk]-sized VPU ops per block),
-matching grid_sample semantics (reference kernels.py:120-252); only the
-raw (x, y, weight) arrays ever touch HBM.
+axes (h and w), then combined into per-y-band ``[YB*w8, nblk]`` slabs as an
+outer product of 2-sparse vectors — exactly the 4 bilinear corners.  Border
+clamping and zeros-mode masking are computed in-kernel from the raw
+coordinates (``point_geometry``), matching grid_sample semantics (reference
+kernels.py:120-252); only the raw (x, y, weight) arrays ever touch HBM.
 
-Precision: the MXU is bf16-native.  f32 inputs use exact two-way bf16
-splits of both operands, contracted as ONE stacked dot whose output column
-blocks sum to the complete (A1+A2)@(E1+E2) product — ~2^-17 relative error,
-inside the reference fp32 test tolerance (rtol=1e-4/atol=1e-3,
-test_msda.py:15-27) and at the ~1e-5 parity bar.  ``precision="highest"``
-uses three-way splits (f32-complete); bf16 inputs use a single pass.  See
-``build_e_wide`` / ``split_bf16`` for the mechanics and the two compiler
-traps (XLA excess-precision folding; scratch store forwarding) that force
-this exact formulation.
+Cost model (measured on this chip): VPU A-build and MXU passes are
+*additive* (no VPU/MXU overlap materializes), so the scheme minimizes their
+sum per dtype:
+
+  * bf16/f16 inputs  -> ``scheme="bf16"``: f32 build, one bf16 MXU pass.
+  * f32 default      -> ``scheme="x3"``: A split into two exact bf16 parts
+    (A = A_h + A_l), E pre-split likewise; three cross terms
+    A_h@E_h + A_l@E_h + A_h@E_l via two dots (the dropped A_l@E_l is
+    ~2^-18 relative).  ~1e-5 relative error, inside the reference fp32
+    test tolerance (rtol=1e-4/atol=1e-3, test_msda.py:15-27).
+  * f32 highest      -> ``scheme="highest"``: f32 operands with the MXU's
+    native fp32 contraction (Mosaic ``contract_precision<fp32>``),
+    ~3e-7 relative — the <=1e-5 parity bar with 30x margin.
 
 Grid: ``(B*H, N_blocks)`` — each (batch, head) keeps its pyramid slice in
 VMEM across the inner query-block axis; query blocks stream.  The TPU
@@ -63,10 +67,15 @@ __all__ = [
     "prepare_inputs",
     "level_layout",
     "build_e_matrix",
+    "resolve_scheme",
 ]
 
 # queries per grid step (lane width).
 N_BLOCK = 1024
+
+# y-rows per build/dot band: the A slab is materialized (and contracted)
+# YB rows at a time, bounding its VMEM footprint to YB*w8*nblk.
+YB = 8
 
 # Module default for interpreter mode; entry points take an explicit
 # ``interpret=`` argument (tests pass it instead of mutating this).
@@ -74,6 +83,7 @@ INTERPRET = False
 
 _I32 = jnp.int32
 _F32 = jnp.float32
+_BF16 = jnp.bfloat16
 
 
 def _round_up(x: int, m: int) -> int:
@@ -220,201 +230,140 @@ def make_sparse_factor(idx0, idx1, v0, v1, extent, pitch, nblk):
     )
 
 
-def build_a_block(
-    x, y, wt, *, level_dims, pitches, nblk, padding_mode, align_corners,
-):
-    """Build the folded interpolation matrix for one query block.
+def level_point_factors(x, y, wt, h, w, w8, nblk, padding_mode,
+                        align_corners):
+    """Per-point 2-sparse factors for one level.
 
-    ``x, y, wt`` are [L, P, nblk] slices (one (b, h) pair, one query
-    block) of raw normalized coordinates and attention weights; geometry
-    is computed in place (see ``point_geometry``).  Returns a list of
-    per-level [h*w8, nblk] f32 blocks (w8 = padded pitch, see
-    ``level_layout``): A_l[(y*w8 + x), q] = sum_p wy(y) * vx(x), the
-    4-corner bilinear coefficients of every point of q at this level,
-    attention weights folded in.  Shared by the forward and backward
-    kernels (the backward re-materializes A instead of saving it — the
-    reference's memory-parity design, kernels.py:421).
+    ``x, y, wt`` are [P, nblk] slices.  Returns (wys, vxs): per point,
+    ``wy [h, nblk]`` carries the y-lerp weights *scaled by the attention
+    weight* and ``vx [w8, nblk]`` the x-lerp weights, so
+    ``A_l = sum_p wy_p (outer) vx_p`` is the folded interpolation matrix.
+    Shared by the forward and backward kernels (the backward
+    re-materializes A instead of saving it — the reference's memory-parity
+    design, kernels.py:421).
     """
-    out = []
-    P = x.shape[1]
-    for li, (h, w) in enumerate(level_dims):
-        w8 = pitches[li]
+    P = x.shape[0]
+    wys, vxs = [], []
+    for p in range(P):
+        (x0c, x1c, y0c, y1c, vx0, vx1, uy0, uy1,
+         _, _, _, _) = point_geometry(
+            x[p][None], y[p][None], h, w, padding_mode, align_corners)
+        wtp = wt[p][None]
+        wys.append(make_sparse_factor(
+            y0c[0], y1c[0], (uy0 * wtp)[0], (uy1 * wtp)[0], h, h, nblk))
+        vxs.append(make_sparse_factor(
+            x0c[0], x1c[0], vx0[0], vx1[0], w, w8, nblk))
+    return wys, vxs
+
+
+def band_slabs(wys, vxs, h, w8, nblk, yb=YB):
+    """Yield (row_offset_in_level, A-slab [bh*w8, nblk] f32) y-band slabs.
+
+    The slab is the band's slice of the folded interpolation matrix,
+    materialized as an accumulated outer product of the 2-sparse factors.
+    Banding bounds VMEM (one slab live at a time) and hands the compiler
+    an interleavable build->dot->build->dot chain.
+    """
+    P = len(wys)
+    for y0 in range(0, h, yb):
+        bh = min(yb, h - y0)
         acc = None
         for p in range(P):
-            (x0c, x1c, y0c, y1c, vx0, vx1, uy0, uy1,
-             _, _, _, _) = point_geometry(
-                x[li, p][None], y[li, p][None], h, w,
-                padding_mode, align_corners,
-            )
-            wtp = wt[li, p][None]
-            wy = make_sparse_factor(
-                y0c[0], y1c[0], (uy0 * wtp)[0], (uy1 * wtp)[0], h, h, nblk
-            )  # [h, nblk]
-            vx = make_sparse_factor(
-                x0c[0], x1c[0], vx0[0], vx1[0], w, w8, nblk
-            )  # [w8, nblk]
-            # outer product of the 2-sparse factors via broadcasting in
-            # [h, w8, nblk] (w8 is sublane-aligned so the final reshape to
-            # row = y*w8 + x is layout-free); cheaper than materializing
-            # repeat(wy) and tile(vx) separately
-            term = wy[:, None, :] * vx[None, :, :]
+            wy_b = wys[p][y0:y0 + bh]  # [bh, nblk]
+            term = wy_b[:, None, :] * vxs[p][None, :, :]
             acc = term if acc is None else acc + term
-        out.append(acc.reshape(h * w8, nblk))
-    return out
+        yield y0 * w8, acc.reshape(bh * w8, nblk)
 
 
-def split_bf16(x, n_split):
-    """Exact n-way bf16 decomposition of f32 ``x`` (x = sum of parts).
+def split_bf16(x):
+    """Exact 2-way bf16 decomposition of f32 ``x`` (x = hi + lo).
 
-    2 parts capture ~16 mantissa bits (~2^-17 relative residual), 3 parts
-    are f32-complete.  Both operands of every MXU contraction are split
-    this way: the MXU is bf16-native, and contracting the parts with f32
-    accumulation reproduces the f32 product (the bf16x_k emulation
-    scheme).  In-kernel use only — see ``split_bf16_xla``.
+    Captures ~16 mantissa bits.  In-kernel use only — see
+    ``split_bf16_xla`` for the XLA-side variant.
     """
-    parts = []
-    r = x
-    for _ in range(n_split - 1):
-        hi = r.astype(jnp.bfloat16)
-        parts.append(hi)
-        r = r - hi.astype(_F32)
-    parts.append(r.astype(jnp.bfloat16))
-    return parts
+    hi = x.astype(_BF16)
+    lo = (x - hi.astype(_F32)).astype(_BF16)
+    return hi, lo
 
 
-def split_bf16_xla(x, n_split):
+def split_bf16_xla(x):
     """``split_bf16`` for use *outside* Pallas kernels.
 
     XLA's excess-precision simplification folds f32(bf16(x)) back to x,
-    which would make every residual part identically zero; a barrier
-    after each rounding blocks that rewrite.  (Mosaic does not apply the
-    rewrite, so in-kernel splits need no barrier — and
-    optimization_barrier has no Mosaic lowering anyway.)
+    which would make the residual part identically zero; a barrier after
+    the rounding blocks that rewrite.  (Mosaic does not apply the rewrite,
+    so in-kernel splits need no barrier — and optimization_barrier has no
+    Mosaic lowering anyway.)
     """
-    parts = []
-    r = x
-    for _ in range(n_split - 1):
-        hi = jax.lax.optimization_barrier(r.astype(jnp.bfloat16))
-        parts.append(hi)
-        r = r - hi.astype(_F32)
-    parts.append(r.astype(jnp.bfloat16))
-    return parts
+    hi = jax.lax.optimization_barrier(x.astype(_BF16))
+    lo = (x - hi.astype(_F32)).astype(_BF16)
+    return hi, lo
 
 
-def build_e_wide(img, shapes, n_split):
-    """[B, H, n_split*ipad, n_split*C] value operand for the forward dot.
+def band_dot(e_band, a_band, scheme, C):
+    """One band's transposed fold contraction -> [C, nblk] f32.
 
-    The A operand is stacked along K as its n_split bf16 parts
-    (A_1; ...; A_n).  E_wide column-stacks the E parts [E_1 | ... | E_n]
-    and row-replicates that n_split times so the K extents match: the
-    MXU's f32 K-accumulation then yields output column block k
-    = (sum_s A_s) @ E_k, and summing the column blocks gives every cross
-    term A_s @ E_k — the complete split product — from a single dot of
-    n_split * K_tiles passes (vs n^2 or 2n-1 for term-paired K slabs).
-    Column stacking also lifts MXU lane utilization from C=32/128 to
-    n_split*C/128.
+    ``e_band``: [rows, C] f32 (schemes bf16/highest) or [rows, 2C] bf16
+    ``[E_h | E_l]`` (scheme x3).  ``a_band``: [rows, nblk] f32.
+
+    x3: three cross terms of the exact 2-way bf16 splits,
+        d1 = [E_h|E_l]^T A_h   (A_h against both E parts)
+        d2 = E_h^T A_l         (the dropped A_l@E_l term is ~2^-18)
     """
-    e = build_e_matrix(img, shapes)
-    if n_split == 1:
-        return e.astype(jnp.bfloat16)
-    ecols = jnp.concatenate(split_bf16_xla(e, n_split), axis=3)
-    return jnp.concatenate([ecols] * n_split, axis=2)
-
-
-def assemble_a_parts(blocks, *, ipad, nblk, n_split, exact):
-    """Stack per-level A blocks into the K-stacked contraction operand.
-
-    Returns the f32 stack (exact mode) or the [n_split*ipad, nblk] bf16
-    part-stack.  Built as pure SSA values: routing the split through VMEM
-    scratch lets the compiler forward the pre-rounding f32 stores into the
-    consuming dot and collapse the split terms, silently degrading the
-    result to single-bf16 accuracy (observed on this toolchain: the slab
-    contents in scratch were bit-exact, only the fused dot was wrong).
-    """
-    tail = ipad - sum(b.shape[0] for b in blocks)
-    if exact:
-        parts = list(blocks)
-        if tail:
-            parts.append(jnp.zeros((tail, nblk), _F32))
-        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-    per_block = [split_bf16(blk, n_split) for blk in blocks]
-    rows = []
-    ztail = jnp.zeros((tail, nblk), jnp.bfloat16) if tail else None
-    for k in range(n_split):
-        rows.extend(pb[k] for pb in per_block)
-        if tail:
-            rows.append(ztail)
-    return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    dn = (((0,), (0,)), ((), ()))
+    if scheme == "x3":
+        a_h, a_l = split_bf16(a_band)
+        d1 = jax.lax.dot_general(
+            e_band, a_h, dn, preferred_element_type=_F32)  # [2C, nblk]
+        d2 = jax.lax.dot_general(
+            e_band[:, :C], a_l, dn, preferred_element_type=_F32)
+        return d1[:C] + d1[C:] + d2
+    if scheme == "highest":
+        return jax.lax.dot_general(
+            e_band, a_band, dn, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=_F32)
+    # bf16: single MXU pass
+    return jax.lax.dot_general(
+        e_band, a_band.astype(_BF16), dn, preferred_element_type=_F32)
 
 
 def _fwd_kernel(
-    # refs: x, y, wt [1,1,L,P,nblk]; e_wide [1,1,n_split*ipad,n_split*C]
+    # refs: x, y, wt [1,1,L,P,nblk]; e_cat [1,1,ipad,{C or 2C}]
     x_ref, y_ref, wt_ref,
-    ewide_ref,
+    ecat_ref,
     out_ref,
-    *, level_dims, level_offs, pitches, ipad, C, nblk, n_split, exact,
+    *, level_dims, level_offs, pitches, C, nblk, scheme,
     padding_mode, align_corners,
 ):
     """One grid step: one (b, h) pyramid slice x one block of queries."""
-    blocks = build_a_block(
-        x_ref[0, 0], y_ref[0, 0], wt_ref[0, 0],
-        level_dims=level_dims, pitches=pitches, nblk=nblk,
-        padding_mode=padding_mode, align_corners=align_corners,
-    )
-    dn = (((0,), (0,)), ((), ()))
-    if exact:
-        # exact path (interpreter / debugging): f32 A, one highest dot
-        a_cat = assemble_a_parts(
-            blocks, ipad=ipad, nblk=nblk, n_split=n_split, exact=True
-        )
-        out_ref[0, 0] = jax.lax.dot_general(
-            a_cat, ewide_ref[0, 0], dn,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=_F32,
-        )
-        return
-    # One dot per level, accumulated: level l's dot only needs level l's
-    # A block, so the MXU can overlap level l's contraction with the VPU
-    # building level l+1 (a single whole-pyramid dot would serialize the
-    # entire build before the first MXU pass).  E rows outside the levels
-    # are zero and are never touched here.
+    xin = x_ref[0, 0]
+    yin = y_ref[0, 0]
+    wt = wt_ref[0, 0]
+    ew = ecat_ref[0, 0]
     o = None
-    ew = ewide_ref[0, 0]
-    for li, blk in enumerate(blocks):
+    for li, (h, w) in enumerate(level_dims):
+        w8 = pitches[li]
         off = level_offs[li]
-        rows = blk.shape[0]
-        parts = split_bf16(blk, n_split)
-        a_l = (
-            parts[0] if n_split == 1
-            else jnp.concatenate(parts, axis=0)
-        )  # [n_split*rows, nblk]
-        e_l = (
-            ew[off:off + rows, :] if n_split == 1
-            else jnp.concatenate(
-                [ew[k * ipad + off:k * ipad + off + rows, :]
-                 for k in range(n_split)],
-                axis=0,
-            )
-        )  # [n_split*rows, n_split*C]
-        d = jax.lax.dot_general(a_l, e_l, dn, preferred_element_type=_F32)
-        o = d if o is None else o + d
-    if n_split > 1:
-        acc = o[:, :C]
-        for k in range(1, n_split):
-            acc = acc + o[:, k * C:(k + 1) * C]
-        o = acc
+        wys, vxs = level_point_factors(
+            xin[li], yin[li], wt[li], h, w, w8, nblk,
+            padding_mode, align_corners)
+        for roff, a_band in band_slabs(wys, vxs, h, w8, nblk):
+            rows = a_band.shape[0]
+            e_band = ew[off + roff:off + roff + rows, :]
+            d = band_dot(e_band, a_band, scheme, C)
+            o = d if o is None else o + d
     out_ref[0, 0] = o
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "shapes_tuple", "padding_mode", "align_corners", "n_split", "interpret",
+        "shapes_tuple", "padding_mode", "align_corners", "scheme", "interpret",
     ),
 )
 def _pallas_fwd(
     img, sampling_points, attention_weights,
-    *, shapes_tuple, padding_mode, align_corners, n_split, interpret,
+    *, shapes_tuple, padding_mode, align_corners, scheme, interpret,
 ):
     B, I, H, C = img.shape  # noqa: E741
     _, N, _, L, P, _ = sampling_points.shape
@@ -426,15 +375,21 @@ def _pallas_fwd(
     n_pad = _round_up(N, N_BLOCK)
     geom = _pad_queries(geom, N, n_pad)
 
-    exact = bool(interpret)
-    if exact:
-        # exact f32 path: interpreter bf16 emulation drops the residual
-        # split parts, and interpret mode has no perf constraints
-        e_wide = build_e_matrix(img, shapes)
-        kdim, ndim = ipad, C
+    if interpret:
+        # the interpreter emulates bf16 dots coarsely; use exact f32
+        scheme = "highest"
+
+    e = build_e_matrix(img, shapes)
+    if scheme == "x3":
+        e_h, e_l = split_bf16_xla(e)
+        e_cat = jnp.concatenate([e_h, e_l], axis=3)  # [B, H, ipad, 2C] bf16
+        ndim = 2 * C
+    elif scheme == "bf16":
+        e_cat = e.astype(_BF16)
+        ndim = C
     else:
-        e_wide = build_e_wide(img, shapes, n_split)
-        kdim, ndim = n_split * ipad, n_split * C
+        e_cat = e
+        ndim = C
 
     grid = (B * H, n_pad // N_BLOCK)
 
@@ -445,16 +400,14 @@ def _pallas_fwd(
             memory_space=pltpu.VMEM,
         )
 
-    def e_spec():
-        return pl.BlockSpec(
-            (1, 1, kdim, ndim),
-            lambda bh, nb: (bh // H, bh % H, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
+    e_spec = pl.BlockSpec(
+        (1, 1, ipad, ndim),
+        lambda bh, nb: (bh // H, bh % H, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     out_spec = pl.BlockSpec(
-        (1, 1, N_BLOCK, C),
-        lambda bh, nb: (bh // H, bh % H, nb, 0),
+        (1, 1, C, N_BLOCK),
+        lambda bh, nb: (bh // H, bh % H, 0, nb),
         memory_space=pltpu.VMEM,
     )
 
@@ -463,11 +416,9 @@ def _pallas_fwd(
         level_dims=level_dims,
         level_offs=tuple(level_offs),
         pitches=tuple(pitches),
-        ipad=ipad,
         C=C,
         nblk=N_BLOCK,
-        n_split=n_split,
-        exact=exact,
+        scheme=scheme,
         padding_mode=padding_mode,
         align_corners=bool(align_corners),
     )
@@ -475,34 +426,35 @@ def _pallas_fwd(
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pt_spec() for _ in range(3)] + [e_spec()],
+        in_specs=[pt_spec() for _ in range(3)] + [e_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, n_pad, C), _F32),
+        out_shape=jax.ShapeDtypeStruct((B, H, C, n_pad), _F32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*geom, e_wide)
+    )(*geom, e_cat)
 
-    out = out[:, :, :N].transpose(0, 2, 1, 3)  # [B, N, H, C]
+    out = out[:, :, :, :N].transpose(0, 3, 1, 2)  # [B, N, H, C]
     return out.astype(img.dtype)
 
 
-def resolve_n_split(dtype, precision) -> int:
-    """bf16 split depth for the MXU contractions.
+def resolve_scheme(dtype, precision) -> str:
+    """MXU contraction scheme per input dtype / requested precision.
 
-    bf16/f16 inputs: 1 (the inputs already quantize harder than the MXU).
-    f32 default: 2-way splits of both operands with all four cross terms
-    (~2^-17 relative — inside the reference fp32 test tolerances
-    rtol=1e-4/atol=1e-3, test_msda.py:15-27, and at the ~1e-5 parity bar).
-    f32 highest: 3-way splits, f32-complete.
+    bf16/f16 inputs: single bf16 pass (the inputs already quantize harder
+    than the MXU).  f32 default: "x3" — exact 2-way bf16 splits of both
+    operands, three cross terms (~1e-5 relative; inside the reference fp32
+    test tolerances rtol=1e-4/atol=1e-3, test_msda.py:15-27).  f32 highest:
+    the MXU's native fp32 contraction (~3e-7 relative, well under the
+    ~1e-5 parity bar).
     """
     if dtype in (jnp.bfloat16, jnp.float16):
-        return 1
+        return "bf16"
     if precision in (jax.lax.Precision.HIGHEST, "highest"):
-        return 3
-    return 2
+        return "highest"
+    return "x3"
 
 
 def pallas_multiscale_deformable_attention(
@@ -532,6 +484,6 @@ def pallas_multiscale_deformable_attention(
             shapes_tuple=shapes_tuple,
             padding_mode=padding_mode,
             align_corners=bool(align_corners),
-            n_split=resolve_n_split(img.dtype, precision),
+            scheme=resolve_scheme(img.dtype, precision),
             interpret=bool(interpret),
         )

@@ -10,9 +10,10 @@ explicit ``interpret=True`` argument — no module-global mutation), so the
 kernel logic is exercised by every CI run even without TPU hardware.
 
 Tolerances: the compiled f32 path uses exact two-way bf16 operand splits
-(~2^-17 relative, see pallas_fwd.resolve_n_split); asserted here at 1e-4
-absolute on O(1) outputs — well inside the reference's own fp32 contract
-(rtol=1e-4/atol=1e-3 fwd, 1e-3/1e-2 bwd, test_msda.py:15-27).
+with three cross terms (~1e-5 relative, see pallas_fwd.resolve_scheme);
+asserted here at 1e-4 absolute on O(1) outputs — well inside the
+reference's own fp32 contract (rtol=1e-4/atol=1e-3 fwd, 1e-3/1e-2 bwd,
+test_msda.py:15-27).
 """
 
 from itertools import product
