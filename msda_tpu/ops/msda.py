@@ -248,6 +248,10 @@ def multiscale_deformable_attention(
         shapes_tuple = None  # reference impl only (see _resolve_impl)
     else:
         shapes_np = np.asarray(jax.device_get(img_shapes))
+        if shapes_np.ndim != 2 or shapes_np.shape[-1] != 2:
+            raise ValueError(
+                f"`img_shapes` must be [L, 2], got shape {shapes_np.shape}"
+            )
         shapes_tuple = tuple((int(h), int(w)) for h, w in shapes_np)
     img_shapes = jnp.asarray(img_shapes)
     if not jnp.issubdtype(img_shapes.dtype, jnp.integer):

@@ -20,6 +20,20 @@ import jax  # noqa: E402
 # /root/reference/tests/test_msda.py:65-72).
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite's wall time is dominated by
+# distinct jit/Pallas compiles (~15-25 s each through this machine's remote
+# TPU compile helper).  With a warm cache the full suite drops from ~13 min
+# to a few minutes; the cache key covers HLO + compile options + runtime
+# version, so stale hits are not a correctness risk.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "MSDA_TPU_JAX_CACHE",
+        os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 
