@@ -118,11 +118,13 @@ def _shapes_arg(shapes_tuple, img_shapes):
 
 
 def _run_forward(img, img_shapes, pts, wts,
-                 shapes_tuple, padding_mode, align_corners, impl):
+                 shapes_tuple, padding_mode, align_corners, impl,
+                 precision=None):
     shapes = _shapes_arg(shapes_tuple, img_shapes)
     if impl == "pallas":
         return _pfwd.pallas_multiscale_deformable_attention(
-            img, shapes, pts, wts, padding_mode, align_corners
+            img, shapes, pts, wts, padding_mode, align_corners,
+            precision=precision,
         )
     if impl == "fused":
         return _fused.fused_multiscale_deformable_attention(
@@ -139,20 +141,20 @@ def _run_forward(img, img_shapes, pts, wts,
 # jit/scan/vjp, silently breaking the Pallas backward path.  When the caller
 # genuinely traces img_shapes (reference impl only), shapes_tuple is None
 # and the array rides along as a regular (integer, zero-cotangent) input.
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _msda(img, img_shapes, pts, wts,
-          shapes_tuple, padding_mode, align_corners, impl):
+          shapes_tuple, padding_mode, align_corners, impl, precision):
     return _run_forward(
         img, img_shapes, pts, wts,
-        shapes_tuple, padding_mode, align_corners, impl,
+        shapes_tuple, padding_mode, align_corners, impl, precision,
     )
 
 
 def _msda_fwd(img, img_shapes, pts, wts,
-              shapes_tuple, padding_mode, align_corners, impl):
+              shapes_tuple, padding_mode, align_corners, impl, precision):
     out = _run_forward(
         img, img_shapes, pts, wts,
-        shapes_tuple, padding_mode, align_corners, impl,
+        shapes_tuple, padding_mode, align_corners, impl, precision,
     )
     # Save only the primal inputs — the backward rematerializes the bilinear
     # sampling, matching the reference's memory-parity design
@@ -160,13 +162,14 @@ def _msda_fwd(img, img_shapes, pts, wts,
     return out, (img, img_shapes, pts, wts)
 
 
-def _msda_bwd(shapes_tuple, padding_mode, align_corners, impl,
+def _msda_bwd(shapes_tuple, padding_mode, align_corners, impl, precision,
               residuals, out_grad):
     img, img_shapes, pts, wts = residuals
     shapes = _shapes_arg(shapes_tuple, img_shapes)
     if impl == "pallas":
         img_grad, pts_grad, wts_grad = _pbwd.pallas_msda_bwd(
-            img, shapes, pts, wts, out_grad, padding_mode, align_corners
+            img, shapes, pts, wts, out_grad, padding_mode, align_corners,
+            precision=precision,
         )
     elif impl == "fused":
         img_grad, pts_grad, wts_grad = _fused.fused_msda_vjp(
@@ -199,6 +202,7 @@ def multiscale_deformable_attention(
     align_corners: bool = False,
     *,
     impl: str = "auto",
+    precision=None,
 ):
     """Differentiable multiscale deformable attention (Deformable DETR,
     arXiv:2010.04159).
@@ -219,6 +223,11 @@ def multiscale_deformable_attention(
             clamps to the nearest edge pixel, "zeros" treats outside as 0.
         align_corners: grid alignment convention, as in
             ``torch.nn.functional.grid_sample``.
+        precision: MXU contraction accuracy for the Pallas path (other
+            impls compute in f32 and ignore it) — None (default): exact
+            2-way bf16 operand splits, ~1e-5 relative; "highest" (or
+            ``jax.lax.Precision.HIGHEST``): the MXU's native fp32
+            contraction, ~3e-7 relative.
         impl: implementation selector —
             "auto" (default): the Pallas TPU kernels on a TPU backend with
                 concrete ``img_shapes``, the pure-jnp "reference" path
@@ -267,4 +276,5 @@ def multiscale_deformable_attention(
         padding_mode,
         bool(align_corners),
         impl,
+        precision,
     )

@@ -46,21 +46,29 @@ def test_half_fwd_bwd(dtype, impl):
     reference at the same quantized inputs, in one compile per config."""
     imgh, shapes, ptsh, wtsh, ogh, img, pts, wts, og = _data(dtype)
 
-    def f(i, p, w, impl_):
+    def f(i, p, w, o, impl_):
+        # jitted end-to-end: eager vjp chains dispatch per-op, which is
+        # pathologically slow through remote TPU tunnels
         def g(ii, pp, ww):
             return msda(ii, shapes, pp, ww, "border", True, impl=impl_)
-        return jax.vjp(g, i, p, w)
 
-    out, vjp = f(imgh, ptsh, wtsh, impl)
+        @jax.jit
+        def run(ii, pp, ww, oo):
+            out, vjp = jax.vjp(g, ii, pp, ww)
+            return (out, *vjp(oo))
+
+        return run(i, p, w, o)
+
+    out, ig, pg, wg = f(imgh, ptsh, wtsh, ogh, impl)
     assert out.dtype == dtype  # output keeps the storage dtype
     want = np.asarray(
-        msda(img, shapes, pts, wts, "border", True, impl="reference")
+        jax.jit(lambda i, p, w: msda(
+            i, shapes, p, w, "border", True, impl="reference"
+        ))(img, pts, wts)
     )
     np.testing.assert_allclose(
         np.asarray(out, np.float32), want, **HALF_TOL
     )
-
-    ig, pg, wg = vjp(ogh)
     assert ig.dtype == pg.dtype == wg.dtype == dtype
     # compare against f32 reference *at the same quantized inputs*: the
     # bilinear derivative is discontinuous at cell boundaries, so grads at
@@ -68,8 +76,9 @@ def test_half_fwd_bwd(dtype, impl):
     # points that cross a boundary under half quantization (this is why
     # the reference tests backward only in fp32/fp64, test_msda.py:129)
     cast32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
-    _, vjp32 = f(cast32(imgh), cast32(ptsh), cast32(wtsh), "reference")
-    ig32, pg32, wg32 = vjp32(cast32(ogh))
+    _, ig32, pg32, wg32 = f(
+        cast32(imgh), cast32(ptsh), cast32(wtsh), cast32(ogh), "reference"
+    )
     # coordinate grads scale with the level extents; compare relative to
     # each tensor's own magnitude at the reference half tolerance
     for a, b in ((ig, ig32), (pg, pg32), (wg, wg32)):
@@ -90,14 +99,18 @@ def test_half_inputs_accumulate_in_f32(impl):
     imgh = np.asarray(jnp.asarray(img, jnp.bfloat16), np.float32)
     ptsh = np.asarray(jnp.asarray(pts, jnp.bfloat16), np.float32)
     wtsh = np.asarray(jnp.asarray(wts, jnp.bfloat16), np.float32)
-    want = np.asarray(
-        msda(imgh, shapes, ptsh, wtsh, "border", True, impl="reference")
-    )
+    def run(impl_, i, p, w):
+        return jax.jit(lambda ii, pp, ww: msda(
+            ii, shapes, pp, ww, "border", True, impl=impl_
+        ))(i, p, w)
+
+    want = np.asarray(run("reference", imgh, ptsh, wtsh))
     got = np.asarray(
-        msda(
-            jnp.asarray(imgh, jnp.bfloat16), shapes,
-            jnp.asarray(ptsh, jnp.bfloat16), jnp.asarray(wtsh, jnp.bfloat16),
-            "border", True, impl=impl,
+        run(
+            impl,
+            jnp.asarray(imgh, jnp.bfloat16),
+            jnp.asarray(ptsh, jnp.bfloat16),
+            jnp.asarray(wtsh, jnp.bfloat16),
         ),
         np.float32,
     )

@@ -31,9 +31,11 @@ GRID = list(product(["border", "zeros"], [True, False]))
 def test_fused_forward(padding_mode, align_corners, oob):
     img, shapes, pts, wts, _ = get_functional_data(dtype=np.float32, oob=oob)
     got = np.asarray(
-        multiscale_deformable_attention(
-            img, shapes, pts, wts, padding_mode, align_corners, impl="fused"
-        )
+        jax.jit(
+            lambda i, p, w: multiscale_deformable_attention(
+                i, shapes, p, w, padding_mode, align_corners, impl="fused"
+            )
+        )(img, pts, wts)
     )
     want = torch_msda_oracle(img, shapes, pts, wts, padding_mode, align_corners)
     atol, rtol = FWD_TOL["float32"]
@@ -49,8 +51,12 @@ def test_fused_backward(padding_mode, align_corners):
             i, shapes, p, w, padding_mode, align_corners, impl="fused"
         )
 
-    out, vjp = jax.vjp(f, img, pts, wts)
-    img_g, pts_g, wts_g = vjp(og)
+    @jax.jit
+    def run(i, p, w, o):
+        out, vjp = jax.vjp(f, i, p, w)
+        return (out, *vjp(o))
+
+    out, img_g, pts_g, wts_g = run(img, pts, wts, og)
 
     want_out, want_img_g, want_pts_g, want_wts_g = torch_msda_oracle_grads(
         img, shapes, pts, wts, og, padding_mode, align_corners
@@ -68,15 +74,15 @@ def test_fused_bf16():
 
     img, shapes, pts, wts, _ = get_functional_data(dtype=np.float32)
     got = np.asarray(
-        multiscale_deformable_attention(
+        jax.jit(
+            lambda i, p, w: multiscale_deformable_attention(
+                i, shapes, p, w, "border", True, impl="fused"
+            ).astype(jnp.float32)
+        )(
             jnp.asarray(img, jnp.bfloat16),
-            shapes,
             jnp.asarray(pts, jnp.bfloat16),
             jnp.asarray(wts, jnp.bfloat16),
-            "border",
-            True,
-            impl="fused",
-        ).astype(jnp.float32)
+        )
     )
     want = torch_msda_oracle(img, shapes, pts, wts, "border", True)
     atol, rtol = FWD_TOL["bfloat16"]
@@ -125,8 +131,15 @@ def test_fused_one_pixel_levels():
         def f(impl):
             def g(i, p, w):
                 return msda(i, shapes, p, w, padding_mode, True, impl=impl)
-            out, vjp = jax.vjp(g, img, pts, wts)
-            return (np.asarray(out), *map(np.asarray, vjp(og)))
+
+            # one jit per config: eager vjp chains dispatch per-op, which
+            # is pathologically slow through remote TPU tunnels
+            @jax.jit
+            def run(i, p, w, o):
+                out, vjp = jax.vjp(g, i, p, w)
+                return (out, *vjp(o))
+
+            return tuple(np.asarray(t) for t in run(img, pts, wts, og))
 
         got = f("fused")
         want = f("reference")

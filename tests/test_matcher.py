@@ -63,8 +63,14 @@ def test_detection_loss_auction_matches_permuted_targets():
     outputs = {"logits": logits, "boxes": boxes}
     targets = {"labels": labels, "boxes": tboxes, "mask": mask}
 
-    loss_auction = float(detection_loss(outputs, targets, matcher="auction"))
-    loss_fixed = float(detection_loss(outputs, targets, matcher="fixed"))
+    # jitted: the auction solver's while_loops dispatch per-iteration when
+    # run eagerly, which is pathologically slow through remote TPU tunnels
+    loss_auction = float(jax.jit(
+        lambda o, t: detection_loss(o, t, matcher="auction")
+    )(outputs, targets))
+    loss_fixed = float(jax.jit(
+        lambda o, t: detection_loss(o, t, matcher="fixed")
+    )(outputs, targets))
     # auction finds the permutation: box L1 ~ 0, CE ~ 0
     assert loss_auction < 0.1, loss_auction
     assert loss_fixed > loss_auction + 0.5

@@ -82,7 +82,8 @@ def test_module_invalid_refs():
         emb_dim=emb, hidden_dim=emb, num_levels=L, num_heads=H, num_points=P,
     )
     bad_refs = np.zeros((1, 8, 3), np.float32)
-    with pytest.raises(ValueError):
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu), pytest.raises(ValueError):
         mod.init(jax.random.PRNGKey(0), img, shapes, queries, bad_refs)
 
 
@@ -112,7 +113,7 @@ def test_module_grad_flows():
         def loss(params):
             return jnp.sum(mod.apply(params, img, shapes, queries, refs) ** 2)
 
-        grads = jax.grad(loss)(params)
+        grads = jax.jit(jax.grad(loss))(params)
     leaves = jax.tree.leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in leaves)

@@ -120,15 +120,26 @@ def test_pallas_bf16_tpu():
 
 @requires_tpu
 def test_pallas_highest_precision_tpu():
-    """precision='highest' uses 3-way splits (f32-complete)."""
-    img, shapes, pts, wts, _ = get_functional_data()
-    got = np.asarray(pallas_multiscale_deformable_attention(
-        img, shapes, pts, wts, "border", True, precision="highest"
-    ))
-    want = np.asarray(
-        msda(img, shapes, pts, wts, "border", True, impl="reference")
-    )
-    np.testing.assert_allclose(got, want, atol=2e-6, rtol=2e-6)
+    """precision='highest' (public API) uses the MXU's native fp32
+    contraction; gradients thread the same precision through the VJP."""
+    img, shapes, pts, wts, og = get_functional_data()
+
+    @jax.jit
+    def run(i, p, w, o):
+        def g(ii, pp, ww):
+            return msda(ii, shapes, pp, ww, "border", True,
+                        impl="pallas", precision="highest")
+        out, vjp = jax.vjp(g, i, p, w)
+        return (out, *vjp(o))
+
+    got = run(img, pts, wts, og)
+    want = _reference_with_grads(img, shapes, pts, wts, og, "border", True)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), want[0], atol=2e-6, rtol=2e-6)
+    for name, a, b in zip(("ig", "pg", "wg"), got[1:], want[1:]):
+        np.testing.assert_allclose(
+            np.asarray(a), b, atol=1e-4, rtol=1e-4,
+            err_msg=f"{name} (highest)")
 
 
 @requires_tpu
