@@ -8,6 +8,7 @@ from .sharding import (
 )
 from .matcher import auction_assignment, matching_cost
 from .train import detection_loss, make_train_step, replicate_params, shard_params
+from .checkpoint import TrainCheckpointer
 
 __all__ = [
     "make_mesh",
@@ -20,4 +21,5 @@ __all__ = [
     "shard_params",
     "auction_assignment",
     "matching_cost",
+    "TrainCheckpointer",
 ]
