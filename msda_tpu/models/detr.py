@@ -26,6 +26,7 @@ __all__ = [
     "DeformableEncoderLayer",
     "DeformableDecoderLayer",
     "DeformableDetr",
+    "postprocess",
 ]
 
 
@@ -129,8 +130,10 @@ class DeformableDetr(nn.Module):
     Consumes per-level backbone features (already extracted; any backbone
     can feed this), runs the deformable encoder/decoder, and emits class
     logits and normalized (cx, cy, w, h) boxes per query — the structure of
-    arXiv:2010.04159 without the training-only extras (iterative box
-    refinement / two-stage proposals are TODO extensions).
+    arXiv:2010.04159 §4, including the paper's *iterative bounding-box
+    refinement* (§4, "each decoder layer refines the boxes predicted by
+    the previous layer"; enable with ``with_box_refinement=True``, which
+    also returns per-layer auxiliary predictions for aux losses).
     """
 
     num_classes: int
@@ -141,6 +144,7 @@ class DeformableDetr(nn.Module):
     num_encoder_layers: int = 2
     num_decoder_layers: int = 2
     ffn_dim: int = 1024
+    with_box_refinement: bool = False
     impl: str = "auto"
     mesh: object = None
 
@@ -197,6 +201,12 @@ class DeformableDetr(nn.Module):
         refs = jax.nn.sigmoid(ref_logit)[None]
         refs = jnp.broadcast_to(refs, (B, self.num_queries, 4))
 
+        eps = 1e-5
+
+        def inv_sigmoid(p):
+            return jnp.log(p / (1.0 - p + eps) + eps)
+
+        aux = []
         for i in range(self.num_decoder_layers):
             queries = DeformableDecoderLayer(
                 emb_dim=self.emb_dim,
@@ -208,11 +218,46 @@ class DeformableDetr(nn.Module):
                 mesh=self.mesh,
                 name=f"decoder_layer_{i}",
             )(queries, feats, img_shapes, refs)
+            if self.with_box_refinement and i < self.num_decoder_layers - 1:
+                # per-layer head refines the boxes the next layer samples
+                # around; refs are detached between layers as in the paper
+                # (gradient flows through the per-layer delta only)
+                delta = nn.Dense(4, name=f"box_refine_{i}")(queries)
+                refined = jax.nn.sigmoid(inv_sigmoid(refs) + delta)
+                aux.append({
+                    "logits": nn.Dense(
+                        self.num_classes, name=f"aux_class_{i}"
+                    )(queries),
+                    "boxes": refined,
+                })
+                refs = jax.lax.stop_gradient(refined)
 
         logits = nn.Dense(self.num_classes, name="class_head")(queries)
         box_delta = nn.Dense(4, name="box_head")(queries)
         # box = reference box refined by the head (inverse-sigmoid space)
-        eps = 1e-5
-        ref_logits = jnp.log(refs / (1.0 - refs + eps) + eps)
-        boxes = jax.nn.sigmoid(ref_logits + box_delta)
-        return {"logits": logits, "boxes": boxes}
+        boxes = jax.nn.sigmoid(inv_sigmoid(refs) + box_delta)
+        out = {"logits": logits, "boxes": boxes}
+        if self.with_box_refinement:
+            out["aux"] = aux
+        return out
+
+
+def postprocess(outputs, top_k: int = 100):
+    """Decode detector outputs into ranked detections (jit-friendly).
+
+    DETR-style sigmoid postprocessing (no NMS needed — queries are
+    trained one-to-one): scores = sigmoid(logits) over all (query, class)
+    pairs, global top-k, boxes gathered per selected query.
+
+    Returns dict(scores=[B, K], labels=[B, K], boxes=[B, K, 4] cxcywh).
+    """
+    logits = outputs["logits"]
+    boxes = outputs["boxes"]
+    B, N, K = logits.shape
+    scores = jax.nn.sigmoid(logits).reshape(B, N * K)
+    top = min(int(top_k), N * K)  # static: top_k shapes the output
+    sel_scores, flat_idx = jax.lax.top_k(scores, top)
+    q_idx = flat_idx // K
+    labels = flat_idx % K
+    sel_boxes = jnp.take_along_axis(boxes, q_idx[..., None], axis=1)
+    return {"scores": sel_scores, "labels": labels, "boxes": sel_boxes}

@@ -84,3 +84,64 @@ def test_detr_train_step_decreases_loss():
             losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_detr_box_refinement_and_aux():
+    """with_box_refinement=True returns per-layer aux predictions and the
+    refined boxes differ from the unrefined model's."""
+    from msda_tpu.models.detr import DeformableDetr
+
+    shapes = np.array([(8, 8), (4, 4)], np.int32)
+    rng = np.random.default_rng(0)
+    pyramid = [
+        jnp.asarray(rng.standard_normal((2, int(h), int(w), 16)), jnp.float32)
+        for h, w in shapes
+    ]
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model = DeformableDetr(
+            num_classes=5, emb_dim=32, num_heads=4, num_points=2,
+            num_queries=8, num_encoder_layers=1, num_decoder_layers=2,
+            ffn_dim=64, with_box_refinement=True, impl="reference",
+        )
+        params = model.init(jax.random.PRNGKey(0), pyramid, shapes)
+        out = jax.jit(
+            lambda p: model.apply(p, pyramid, shapes)
+        )(params)
+    assert out["logits"].shape == (2, 8, 5)
+    assert out["boxes"].shape == (2, 8, 4)
+    # aux predictions: one per non-final decoder layer
+    assert len(out["aux"]) == 1
+    for a in out["aux"]:
+        assert a["logits"].shape == (2, 8, 5)
+        assert a["boxes"].shape == (2, 8, 4)
+    assert np.all(np.isfinite(np.asarray(out["boxes"])))
+    # refinement heads exist per layer
+    names = set(params["params"].keys())
+    assert "box_refine_0" in names, names
+
+
+def test_postprocess():
+    from msda_tpu.models import postprocess
+
+    rng = np.random.default_rng(1)
+    B, N, K = 2, 6, 4
+    logits = jnp.asarray(rng.standard_normal((B, N, K)), jnp.float32)
+    boxes = jnp.asarray(rng.random((B, N, 4)), jnp.float32)
+    out = jax.jit(lambda o: postprocess(o, top_k=5))(
+        {"logits": logits, "boxes": boxes}
+    )
+    assert out["scores"].shape == (B, 5)
+    assert out["labels"].shape == (B, 5)
+    assert out["boxes"].shape == (B, 5, 4)
+    # numpy cross-check of the top-1 detection
+    s = 1.0 / (1.0 + np.exp(-np.asarray(logits).reshape(B, N * K)))
+    for b in range(B):
+        flat = int(s[b].argmax())
+        assert float(out["scores"][b, 0]) == pytest.approx(float(s[b].max()), rel=1e-6)
+        assert int(out["labels"][b, 0]) == flat % K
+        np.testing.assert_allclose(
+            np.asarray(out["boxes"][b, 0]), np.asarray(boxes[b, flat // K])
+        )
+    # scores sorted descending
+    assert np.all(np.diff(np.asarray(out["scores"]), axis=1) <= 1e-7)
