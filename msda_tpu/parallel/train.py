@@ -22,7 +22,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["detection_loss", "make_train_step", "replicate_params", "shard_params"]
 
 
-def detection_loss(outputs, targets, matcher: str = "fixed"):
+def detection_loss(outputs, targets, matcher: str = "fixed",
+                   aux_weight: float = 1.0):
     """Detection loss (classification CE + L1 box, arXiv:2010.04159 §4.1).
 
     targets: dict(labels=[B, M] int (num_classes = background last),
@@ -33,7 +34,21 @@ def detection_loss(outputs, targets, matcher: str = "fixed"):
         "auction": Hungarian-style minimum-cost bipartite matching via the
                    jittable auction solver (parallel.matcher), as in the
                    original DETR/Deformable-DETR training recipe.
+
+    When ``outputs`` carries ``"aux"`` (per-decoder-layer predictions from
+    ``DeformableDetr(with_box_refinement=True)``), each aux head pays the
+    same loss scaled by ``aux_weight`` — the paper's deep supervision
+    (arXiv:2010.04159 §A.1, "auxiliary losses at each decoder layer").
     """
+    loss = _single_detection_loss(outputs, targets, matcher)
+    for aux_out in outputs.get("aux", ()):
+        loss = loss + aux_weight * _single_detection_loss(
+            aux_out, targets, matcher
+        )
+    return loss
+
+
+def _single_detection_loss(outputs, targets, matcher):
     logits = outputs["logits"]
     boxes = outputs["boxes"]
     labels = targets["labels"]

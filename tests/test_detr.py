@@ -145,3 +145,31 @@ def test_postprocess():
         )
     # scores sorted descending
     assert np.all(np.diff(np.asarray(out["scores"]), axis=1) <= 1e-7)
+
+
+def test_detection_loss_aux_deep_supervision():
+    """Aux predictions add per-layer losses; aux_weight=0 recovers the
+    final-layer-only loss."""
+    rng = np.random.default_rng(2)
+    B, N, K = 2, 8, 5
+    outputs = {
+        "logits": jnp.asarray(rng.standard_normal((B, N, K)), jnp.float32),
+        "boxes": jnp.asarray(rng.random((B, N, 4)), jnp.float32),
+        "aux": [{
+            "logits": jnp.asarray(rng.standard_normal((B, N, K)), jnp.float32),
+            "boxes": jnp.asarray(rng.random((B, N, 4)), jnp.float32),
+        }],
+    }
+    targets = {
+        "labels": jnp.asarray(rng.integers(0, K - 1, (B, N)), jnp.int32),
+        "boxes": jnp.asarray(rng.random((B, N, 4)), jnp.float32),
+        "mask": jnp.ones((B, N), jnp.float32),
+    }
+    no_aux = {k: v for k, v in outputs.items() if k != "aux"}
+    l_final = float(detection_loss(no_aux, targets))
+    l_zero = float(detection_loss(outputs, targets, aux_weight=0.0))
+    l_full = float(detection_loss(outputs, targets, aux_weight=1.0))
+    l_aux_only = float(detection_loss(
+        {**outputs["aux"][0]}, targets))
+    assert l_zero == pytest.approx(l_final, rel=1e-6)
+    assert l_full == pytest.approx(l_final + l_aux_only, rel=1e-6)
