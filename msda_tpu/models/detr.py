@@ -23,11 +23,32 @@ from .attention import MultiscaleDeformableAttention
 
 __all__ = [
     "make_encoder_reference_points",
+    "make_proposal_anchors",
     "DeformableEncoderLayer",
     "DeformableDecoderLayer",
     "DeformableDetr",
     "postprocess",
 ]
+
+
+def make_proposal_anchors(img_shapes, base_scale: float = 0.05):
+    """Per-pixel anchor boxes for two-stage proposal generation: [I, 4].
+
+    Each pyramid pixel anchors a box at its own center with a per-level
+    size of ``base_scale * 2^level`` (Deformable DETR §A.4: proposals at
+    coarser levels cover larger areas).  Returned in normalized cxcywh.
+    """
+    shapes = np.asarray(img_shapes)
+    anchors = []
+    for lvl, (h, w) in enumerate(shapes):
+        ys, xs = np.meshgrid(
+            (np.arange(h) + 0.5) / h, (np.arange(w) + 0.5) / w, indexing="ij"
+        )
+        wh = np.full_like(xs, min(base_scale * (2 ** lvl), 0.9))
+        anchors.append(
+            np.stack([xs, ys, wh, wh], axis=-1).reshape(-1, 4)
+        )
+    return jnp.asarray(np.concatenate(anchors, axis=0), jnp.float32)
 
 
 def make_encoder_reference_points(img_shapes) -> jnp.ndarray:
@@ -130,10 +151,15 @@ class DeformableDetr(nn.Module):
     Consumes per-level backbone features (already extracted; any backbone
     can feed this), runs the deformable encoder/decoder, and emits class
     logits and normalized (cx, cy, w, h) boxes per query — the structure of
-    arXiv:2010.04159 §4, including the paper's *iterative bounding-box
-    refinement* (§4, "each decoder layer refines the boxes predicted by
-    the previous layer"; enable with ``with_box_refinement=True``, which
-    also returns per-layer auxiliary predictions for aux losses).
+    arXiv:2010.04159 §4 including both paper variants:
+
+    * *iterative bounding-box refinement* (``with_box_refinement=True``):
+      per-layer box heads refine the references the next decoder layer
+      samples around, with per-layer aux predictions for deep supervision;
+    * *two-stage* (``two_stage=True``): every encoder pixel emits a
+      proposal (objectness + box on a per-level anchor) and the top
+      ``num_queries`` proposals seed the decoder's reference boxes and
+      positional content, with ``enc`` outputs for proposal supervision.
     """
 
     num_classes: int
@@ -145,6 +171,7 @@ class DeformableDetr(nn.Module):
     num_decoder_layers: int = 2
     ffn_dim: int = 1024
     with_box_refinement: bool = False
+    two_stage: bool = False
     impl: str = "auto"
     mesh: object = None
 
@@ -192,19 +219,42 @@ class DeformableDetr(nn.Module):
         queries = jnp.broadcast_to(
             query_emb[None], (B, self.num_queries, self.emb_dim)
         )
-        # learned reference boxes per query (sigmoid-normalized cxcywh)
-        ref_logit = self.param(
-            "reference_box_logits",
-            nn.initializers.normal(0.5),
-            (self.num_queries, 4),
-        )
-        refs = jax.nn.sigmoid(ref_logit)[None]
-        refs = jnp.broadcast_to(refs, (B, self.num_queries, 4))
-
         eps = 1e-5
 
         def inv_sigmoid(p):
             return jnp.log(p / (1.0 - p + eps) + eps)
+
+        enc_out = None
+        if self.two_stage:
+            # Two-stage (arXiv:2010.04159 sA.4): every encoder pixel emits
+            # a proposal (objectness + box delta on its anchor); the top
+            # num_queries proposals seed the decoder's reference boxes and
+            # positional content.  The proposal head trains through
+            # ``enc`` aux outputs; the decoder consumes detached boxes.
+            anchors = make_proposal_anchors(img_shapes)[None]  # [1, I, 4]
+            enc_obj = nn.Dense(1, name="enc_objectness")(feats)[..., 0]
+            enc_delta = nn.Dense(4, name="enc_box_head")(feats)
+            enc_boxes = jax.nn.sigmoid(inv_sigmoid(anchors) + enc_delta)
+            _, top_idx = jax.lax.top_k(enc_obj, self.num_queries)  # [B, Nq]
+            refs = jnp.take_along_axis(
+                enc_boxes, top_idx[..., None], axis=1
+            )  # [B, Nq, 4]
+            enc_out = {"logits": enc_obj[..., None], "boxes": enc_boxes}
+            # positional content from the selected proposals
+            pos = nn.Dense(self.emb_dim, name="proposal_pos_proj")(
+                jax.lax.stop_gradient(refs)
+            )
+            queries = queries + pos
+            refs = jax.lax.stop_gradient(refs)
+        else:
+            # learned reference boxes per query (sigmoid-normalized cxcywh)
+            ref_logit = self.param(
+                "reference_box_logits",
+                nn.initializers.normal(0.5),
+                (self.num_queries, 4),
+            )
+            refs = jax.nn.sigmoid(ref_logit)[None]
+            refs = jnp.broadcast_to(refs, (B, self.num_queries, 4))
 
         aux = []
         for i in range(self.num_decoder_layers):
@@ -239,6 +289,8 @@ class DeformableDetr(nn.Module):
         out = {"logits": logits, "boxes": boxes}
         if self.with_box_refinement:
             out["aux"] = aux
+        if enc_out is not None:
+            out["enc"] = enc_out
         return out
 
 

@@ -173,3 +173,43 @@ def test_detection_loss_aux_deep_supervision():
         {**outputs["aux"][0]}, targets))
     assert l_zero == pytest.approx(l_final, rel=1e-6)
     assert l_full == pytest.approx(l_final + l_aux_only, rel=1e-6)
+
+
+def test_detr_two_stage():
+    """two_stage=True: encoder proposals seed the decoder references; the
+    model returns enc outputs for proposal supervision."""
+    from msda_tpu.models.detr import DeformableDetr
+
+    shapes = np.array([(8, 8), (4, 4)], np.int32)
+    I = int((shapes[:, 0] * shapes[:, 1]).sum())
+    rng = np.random.default_rng(4)
+    pyramid = [
+        jnp.asarray(rng.standard_normal((2, int(h), int(w), 16)), jnp.float32)
+        for h, w in shapes
+    ]
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model = DeformableDetr(
+            num_classes=5, emb_dim=32, num_heads=4, num_points=2,
+            num_queries=8, num_encoder_layers=1, num_decoder_layers=1,
+            ffn_dim=64, two_stage=True, impl="reference",
+        )
+        params = model.init(jax.random.PRNGKey(0), pyramid, shapes)
+        out = jax.jit(lambda p: model.apply(p, pyramid, shapes))(params)
+
+        # gradients flow into the proposal heads (through enc outputs)
+        def loss(p):
+            o = model.apply(p, pyramid, shapes)
+            return (jnp.sum(o["boxes"] ** 2)
+                    + jnp.sum(o["enc"]["logits"] ** 2)
+                    + jnp.sum(o["enc"]["boxes"] ** 2))
+
+        grads = jax.jit(jax.grad(loss))(params)
+    assert out["logits"].shape == (2, 8, 5)
+    assert out["boxes"].shape == (2, 8, 4)
+    assert out["enc"]["boxes"].shape == (2, I, 4)
+    assert np.all(np.isfinite(np.asarray(out["boxes"])))
+    g_enc = grads["params"]["enc_box_head"]["kernel"]
+    assert float(np.abs(np.asarray(g_enc)).max()) > 0
+    g_obj = grads["params"]["enc_objectness"]["kernel"]
+    assert float(np.abs(np.asarray(g_obj)).max()) > 0
