@@ -5,6 +5,7 @@ from .sharding import (
     MSDA_SHARDINGS,
     shard_msda_args,
     sharded_multiscale_deformable_attention,
+    shard_map_multiscale_deformable_attention,
 )
 from .matcher import auction_assignment, matching_cost
 from .train import detection_loss, make_train_step, replicate_params, shard_params
@@ -15,6 +16,7 @@ __all__ = [
     "MSDA_SHARDINGS",
     "shard_msda_args",
     "sharded_multiscale_deformable_attention",
+    "shard_map_multiscale_deformable_attention",
     "detection_loss",
     "make_train_step",
     "replicate_params",

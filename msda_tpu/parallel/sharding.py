@@ -32,6 +32,7 @@ __all__ = [
     "MSDA_SHARDINGS",
     "shard_msda_args",
     "sharded_multiscale_deformable_attention",
+    "shard_map_multiscale_deformable_attention",
 ]
 
 
@@ -115,3 +116,55 @@ def sharded_multiscale_deformable_attention(
         impl=impl,
     )
     return constrained(out, MSDA_SHARDINGS["out"])
+
+
+def shard_map_multiscale_deformable_attention(
+    mesh,
+    img,
+    img_shapes,
+    sampling_points,
+    attention_weights,
+    padding_mode: str = "border",
+    align_corners: bool = False,
+    *,
+    impl: str = "auto",
+):
+    """MSDA via ``jax.shard_map``: each device runs the kernel on its local
+    (batch, query, head) shard.
+
+    This is the multi-chip path for the Pallas kernels: GSPMD cannot
+    partition a ``pallas_call`` (``sharded_multiscale_deformable_attention``
+    is for the partitionable XLA impls), whereas under shard_map every
+    device traces the kernel on its local block shapes — and because MSDA
+    has no cross-(batch, query, head) interaction, the op needs **zero
+    collectives**: out_specs equals the natural output sharding with no
+    psum.  ``img_shapes`` must be concrete (the kernels specialize on the
+    pyramid geometry); it is closed over rather than sharded.
+    """
+    from functools import partial
+
+    from ..ops import multiscale_deformable_attention
+
+    shapes = np.asarray(jax.device_get(img_shapes)).astype(np.int32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            MSDA_SHARDINGS["img"],
+            MSDA_SHARDINGS["sampling_points"],
+            MSDA_SHARDINGS["attention_weights"],
+        ),
+        out_specs=MSDA_SHARDINGS["out"],
+        # the varying-mesh-axis checker cannot see through pallas_call
+        # out_shapes (no vma on ShapeDtypeStruct); the op body has no
+        # collectives, so the check adds nothing here
+        check_vma=False,
+    )
+    def local_op(img_l, pts_l, wts_l):
+        return multiscale_deformable_attention(
+            img_l, shapes, pts_l, wts_l, padding_mode, align_corners,
+            impl=impl,
+        )
+
+    return local_op(img, sampling_points, attention_weights)

@@ -164,3 +164,33 @@ def test_tp_param_sharding_matches_replicated(mesh):
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
             err_msg=str(pa),
         )
+
+
+def test_shard_map_op_matches_single_device(mesh):
+    """The shard_map path (the multi-chip route for the Pallas kernels —
+    GSPMD cannot partition a pallas_call) matches the single-device op,
+    with each device computing only its local (dp, sp, tp) shard."""
+    from msda_tpu.parallel import shard_map_multiscale_deformable_attention
+
+    img, shapes, pts, wts, _ = get_functional_data(B=2, H=4, N=64, oob=True)
+    shapes_j = jnp.asarray(shapes)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        want = np.asarray(
+            multiscale_deformable_attention(
+                img, shapes_j, pts, wts, "border", False, impl="reference"
+            )
+        )
+
+    img_s, shapes_s, pts_s, wts_s = shard_msda_args(
+        mesh, jnp.asarray(img), shapes_j, jnp.asarray(pts), jnp.asarray(wts)
+    )
+    f = jax.jit(
+        lambda i, p, w: shard_map_multiscale_deformable_attention(
+            mesh, i, shapes, p, w, "border", False, impl="reference"
+        )
+    )
+    got_arr = f(img_s, pts_s, wts_s)
+    np.testing.assert_allclose(np.asarray(got_arr), want, atol=1e-6, rtol=1e-6)
+    # output carries the distributed sharding (not replicated)
+    assert not got_arr.sharding.is_fully_replicated
