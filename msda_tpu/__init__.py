@@ -20,7 +20,14 @@ from .ops import (
 )
 from .models import MultiscaleDeformableAttention
 
-__version__ = "0.1.0"
+# installed-package metadata when available (the reference's mechanism,
+# __init__.py:5), falling back for in-tree use without installation
+try:
+    from importlib.metadata import version as _pkg_version
+
+    __version__ = _pkg_version("msda-tpu")
+except Exception:
+    __version__ = "0.1.0"
 
 __all__ = [
     "multiscale_deformable_attention",

@@ -70,9 +70,10 @@ from .pallas_fwd import (
 __all__ = ["pallas_msda_bwd"]
 
 # queries per grid step.  Smaller than the forward's: the backward holds
-# G [ipad, nblk] f32 in VMEM alongside the band slabs, and larger blocks
-# push past the VMEM sweet spot (measured: 512 beats 256 and 1024 here).
-N_BLOCK = 512
+# G [ipad, nblk] f32 in VMEM alongside the band slabs (autotuned with
+# scripts/autotune.py: 256 edges 512/1024 by ~2% and leaves the most VMEM
+# headroom; the whole surface is flat — the kernel is throughput-bound).
+N_BLOCK = 256
 
 # y-rows per img-grad A slab (VMEM-bounded; see pallas_fwd.band_slabs)
 YB_BWD = 8

@@ -1,0 +1,107 @@
+"""Autotune the Pallas kernel block parameters on the current chip.
+
+The analogue of the reference's ``@triton.autotune`` over ``num_warps``
+(reference kernels.py:259-265): sweeps the forward query-block width
+(N_BLOCK), the build/dot band height (YB), and the backward block/band
+sizes at a chosen workload, timing each with the in-jit scan harness, and
+prints the best configuration to paste into pallas_fwd.py / pallas_bwd.py
+(they are compile-time constants: Mosaic kernels specialize on them, so a
+runtime-selected value would force recompiles per call site).
+
+Usage:  python scripts/autotune.py [--queries 10000] [--dtype float32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", type=int, default=10000)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--iters", type=int, default=60)
+    args = ap.parse_args()
+
+    import msda_tpu.ops.pallas_fwd as pf
+    import msda_tpu.ops.pallas_bwd as pb
+    from msda_tpu.utils import timeit_op
+
+    shapes = np.array([(64, 64), (32, 32), (16, 16), (8, 8)], np.int32)
+    B, H, C, P, L = 4, 8, 32, 4, 4
+    I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
+    N = args.queries
+    dtype = jnp.dtype(args.dtype)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    img = jax.random.normal(k1, (B, I, H, C), dtype)
+    pts = jax.random.uniform(k2, (B, N, H, L, P, 2), dtype)
+    wts = jax.nn.softmax(jax.random.normal(k3, (B, N, H, L, P), dtype), -1)
+    og = jax.random.uniform(k4, (B, N, H, C), dtype)
+
+    def time_fwd():
+        pf._pallas_fwd.clear_cache()
+
+        def step(carry):
+            p, acc = carry
+            out = pf.pallas_multiscale_deformable_attention(
+                img, shapes, p, wts, "border", True)
+            return (p + (out[0, 0, 0, 0] * 1e-20).astype(dtype),
+                    acc + out[0, 0, 0, 0].astype(jnp.float32))
+
+        return timeit_op(step, (pts, jnp.float32(0)), n=args.iters) * 1e3
+
+    def time_bwd():
+        pb._pallas_bwd.clear_cache()
+
+        def step(carry):
+            p, acc = carry
+            ig, pg, wg = pb.pallas_msda_bwd(
+                img, shapes, p, wts, og, "border", True)
+            return (p + (pg * 1e-20).astype(dtype),
+                    acc + ig[0, 0, 0, 0].astype(jnp.float32))
+
+        return timeit_op(step, (pts, jnp.float32(0)), n=args.iters) * 1e3
+
+    print(f"# autotune @ N={N}, dtype={args.dtype}, "
+          f"device={jax.devices()[0]}")
+    best = None
+    for nb in (512, 1024, 2048):
+        for yb in (8, 16, 32):
+            pf.N_BLOCK, pf.YB = nb, yb
+            t = time_fwd()
+            tag = f"fwd  N_BLOCK={nb:5d} YB={yb:3d}: {t:8.3f} ms"
+            print(tag)
+            if best is None or t < best[0]:
+                best = (t, nb, yb)
+    print(f"best fwd: N_BLOCK={best[1]}, YB={best[2]}  ({best[0]:.3f} ms)")
+    pf.N_BLOCK, pf.YB = best[1], best[2]
+
+    bbest = None
+    for nb in (256, 512, 1024):
+        for yb in (8, 16, 32):
+            pb.N_BLOCK, pb.YB_BWD = nb, yb
+            try:
+                t = time_bwd()
+            except Exception as e:  # e.g. VMEM overflow at large blocks
+                print(f"bwd  N_BLOCK={nb:5d} YB={yb:3d}: failed "
+                      f"({type(e).__name__})")
+                continue
+            print(f"bwd  N_BLOCK={nb:5d} YB={yb:3d}: {t:8.3f} ms")
+            if bbest is None or t < bbest[0]:
+                bbest = (t, nb, yb)
+    print(f"best bwd: N_BLOCK={bbest[1]}, YB_BWD={bbest[2]}  "
+          f"({bbest[0]:.3f} ms)")
+
+
+if __name__ == "__main__":
+    main()
