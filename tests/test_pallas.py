@@ -166,3 +166,35 @@ def test_pallas_rejects_traced_shapes():
 
     with pytest.raises(ValueError, match="concrete img_shapes"):
         f(img, jnp.asarray(shapes), pts, wts)
+
+
+@requires_tpu
+def test_pallas_odd_rectangular_pyramid_tpu():
+    """Non-square levels with widths not multiples of 8 exercise the
+    padded-pitch row layout (level_layout) and y-band tails (h < or not
+    divisible by the band height), forward and backward."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    shapes = np.array([(13, 10), (7, 5), (3, 2)], np.int32)
+    B, H, C, P, L, N = 2, 4, 32, 3, 3, 200
+    I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
+    img = jnp.asarray(rng.standard_normal((B, I, H, C)), jnp.float32)
+    pts = jnp.asarray(rng.random((B, N, H, L, P, 2)) * 1.4 - 0.2, jnp.float32)
+    logits = rng.standard_normal((B, N, H, L, P))
+    e = np.exp(logits - logits.max(axis=(-1, -2), keepdims=True))
+    wts = jnp.asarray(e / e.sum(axis=(-1, -2), keepdims=True), jnp.float32)
+    og = jnp.asarray(rng.standard_normal((B, N, H, C)), jnp.float32)
+
+    def run(impl):
+        @jax.jit
+        def f(i, p, w, o):
+            def g(ii, pp, ww):
+                return msda(ii, shapes, pp, ww, "zeros", False, impl=impl)
+            out, vjp = jax.vjp(g, i, p, w)
+            return (out, *vjp(o))
+        return tuple(np.asarray(t) for t in f(img, pts, wts, og))
+
+    got = run("pallas")
+    want = run("reference")
+    _check(got, want, "odd rectangular pyramid")
