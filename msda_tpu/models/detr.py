@@ -229,8 +229,11 @@ class DeformableDetr(nn.Module):
             # Two-stage (arXiv:2010.04159 sA.4): every encoder pixel emits
             # a proposal (objectness + box delta on its anchor); the top
             # num_queries proposals seed the decoder's reference boxes and
-            # positional content.  The proposal head trains through
-            # ``enc`` aux outputs; the decoder consumes detached boxes.
+            # positional content.  The decoder consumes detached boxes, so
+            # the proposal heads train *only* through the ``enc`` outputs —
+            # ``parallel.detection_loss`` consumes them (objectness + box
+            # loss on anchor-assigned proposals; the anchors ride along in
+            # the output dict so the loss can do the assignment).
             anchors = make_proposal_anchors(img_shapes)[None]  # [1, I, 4]
             enc_obj = nn.Dense(1, name="enc_objectness")(feats)[..., 0]
             enc_delta = nn.Dense(4, name="enc_box_head")(feats)
@@ -239,7 +242,11 @@ class DeformableDetr(nn.Module):
             refs = jnp.take_along_axis(
                 enc_boxes, top_idx[..., None], axis=1
             )  # [B, Nq, 4]
-            enc_out = {"logits": enc_obj[..., None], "boxes": enc_boxes}
+            enc_out = {
+                "logits": enc_obj[..., None],
+                "boxes": enc_boxes,
+                "anchors": anchors[0],  # [I, 4], constant (no grad)
+            }
             # positional content from the selected proposals
             pos = nn.Dense(self.emb_dim, name="proposal_pos_proj")(
                 jax.lax.stop_gradient(refs)
@@ -294,19 +301,38 @@ class DeformableDetr(nn.Module):
         return out
 
 
-def postprocess(outputs, top_k: int = 100):
+def postprocess(outputs, top_k: int = 100,
+                scoring: str = "softmax"):
     """Decode detector outputs into ranked detections (jit-friendly).
 
-    DETR-style sigmoid postprocessing (no NMS needed — queries are
-    trained one-to-one): scores = sigmoid(logits) over all (query, class)
-    pairs, global top-k, boxes gathered per selected query.
+    DETR-style one-to-one decoding (no NMS needed): scores over all
+    (query, class) pairs, global top-k, boxes gathered per selected query.
+
+    ``scoring`` must match the training objective:
+
+    * ``"softmax"`` (default) — softmax over classes with the **last class
+      treated as background and dropped** before top-k.  This pairs with
+      :func:`msda_tpu.parallel.detection_loss`'s softmax-CE convention
+      (num_classes = background last), the original DETR recipe: emitted
+      labels are always real classes and scores are true class posteriors.
+    * ``"sigmoid"`` — per-class sigmoid over *all* classes (no background
+      class), the Deformable-DETR focal-loss decode.
 
     Returns dict(scores=[B, K], labels=[B, K], boxes=[B, K, 4] cxcywh).
     """
     logits = outputs["logits"]
     boxes = outputs["boxes"]
     B, N, K = logits.shape
-    scores = jax.nn.sigmoid(logits).reshape(B, N * K)
+    if scoring == "softmax":
+        probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # drop background
+        K = K - 1
+        scores = probs.reshape(B, N * K)
+    elif scoring == "sigmoid":
+        scores = jax.nn.sigmoid(logits).reshape(B, N * K)
+    else:
+        raise ValueError(
+            f"scoring must be 'softmax' or 'sigmoid', got {scoring!r}"
+        )
     top = min(int(top_k), N * K)  # static: top_k shapes the output
     sel_scores, flat_idx = jax.lax.top_k(scores, top)
     q_idx = flat_idx // K

@@ -256,14 +256,19 @@ def level_point_factors(x, y, wt, h, w, w8, nblk, padding_mode,
     return wys, vxs
 
 
-def band_slabs(wys, vxs, h, w8, nblk, yb=YB):
+def band_slabs(wys, vxs, h, w8, nblk, yb=None):
     """Yield (row_offset_in_level, A-slab [bh*w8, nblk] f32) y-band slabs.
 
     The slab is the band's slice of the folded interpolation matrix,
     materialized as an accumulated outer product of the 2-sparse factors.
     Banding bounds VMEM (one slab live at a time) and hands the compiler
     an interleavable build->dot->build->dot chain.
+
+    ``yb`` defaults to the module-level ``YB`` *at call time* (not bind
+    time), so autotuning scripts that set ``pallas_fwd.YB`` take effect.
     """
+    if yb is None:
+        yb = YB
     P = len(wys)
     for y0 in range(0, h, yb):
         bh = min(yb, h - y0)

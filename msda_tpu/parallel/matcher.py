@@ -28,55 +28,28 @@ __all__ = ["auction_assignment", "matching_cost"]
 _NEG = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=("max_rounds",))
-def auction_assignment(cost, target_mask=None, eps=1e-3, max_rounds=2000):
-    """Min-cost assignment of targets to queries via the auction algorithm.
+def _auction_phase(profit, active, eps_k, price0, max_rounds):
+    """One auction phase at bid increment ``eps_k``: fresh assignments,
+    prices warm-started from the previous phase (Bertsekas e-scaling)."""
+    M, N = profit.shape
 
-    Args:
-        cost: ``[N, M]`` float cost of assigning query n to target m
-            (N >= M; every *real* target gets a distinct query).
-        target_mask: optional ``[M]`` {0,1}; masked-out targets are not
-            assigned (their returned index is valid but meaningless).
-        eps: bid increment; suboptimality is bounded by ``M * eps``.
-        max_rounds: hard iteration bound for the while_loop.
-
-    Returns:
-        ``query_idx [M]`` int32 — the query assigned to each target.
-    """
-    N, M = cost.shape
-    profit = -cost.astype(jnp.float32).T  # [M, N]: targets bid for queries
-    if target_mask is not None:
-        active = target_mask.astype(bool)
-    else:
-        active = jnp.ones((M,), bool)
-
-    eps = jnp.float32(eps)
+    def assigned_of(owner):
+        return jnp.any(owner[None, :] == jnp.arange(M)[:, None], axis=1)
 
     def cond(state):
         owner, price, rounds = state
-        unassigned = active & (owner_of(owner) < 0)
-        return (rounds < max_rounds) & jnp.any(unassigned)
-
-    def owner_of(owner):
-        # owner[q] = target owning query q (-1 free); derive per-target
-        # assignment: assigned[m] = any(owner == m)
-        return jnp.where(
-            jnp.any(owner[None, :] == jnp.arange(M)[:, None], axis=1), 0, -1
-        )
+        return (rounds < max_rounds) & jnp.any(active & ~assigned_of(owner))
 
     def body(state):
         owner, price, rounds = state
         values = profit - price[None, :]  # [M, N]
-        assigned = jnp.any(
-            owner[None, :] == jnp.arange(M)[:, None], axis=1
-        )
-        bidder = active & ~assigned  # [M] targets bidding this round
+        bidder = active & ~assigned_of(owner)  # targets bidding this round
 
         best = jnp.max(values, axis=1)
         best_q = jnp.argmax(values, axis=1)  # [M]
         masked = values.at[jnp.arange(M), best_q].set(_NEG)
         second = jnp.max(masked, axis=1)
-        bid = best - second + eps  # [M]
+        bid = best - second + eps_k  # [M]
 
         # each query takes the highest bid among bidders targeting it
         bid_matrix = jnp.where(
@@ -95,18 +68,71 @@ def auction_assignment(cost, target_mask=None, eps=1e-3, max_rounds=2000):
         return owner, price, (rounds + 1).astype(jnp.int32)
 
     owner0 = jnp.full((N,), -1, jnp.int32)
-    price0 = jnp.zeros((N,), jnp.float32)
     owner, price, _ = jax.lax.while_loop(
         cond, body, (owner0, price0, jnp.int32(0))
     )
+    return owner, price
 
-    # per-target assigned query: the query it owns (or argmin cost fallback
-    # for pathological non-termination)
+
+@functools.partial(jax.jit, static_argnames=("max_rounds", "return_state"))
+def auction_assignment(cost, target_mask=None, eps=1e-3, max_rounds=2000,
+                       return_state=False):
+    """Min-cost assignment of targets to queries via the auction algorithm
+    (Bertsekas 1988), single phase.
+
+    Design note — why no epsilon scaling: classic e-scaling (geometric eps
+    schedule with prices carried between phases) is only valid for
+    *square* assignment problems.  Here N (queries) > M (targets): early
+    large-eps phases inflate the prices of the best queries, and since
+    forward-auction prices never decrease, later phases divert targets to
+    untouched zero-price queries — measured on this solver, each phase
+    made the assignment strictly *worse* (0.27 -> 1.96 vs optimum 0.25 on
+    a 20x8 instance).  The correct scaled variant for asymmetric problems
+    is the forward-reverse auction, which is not worth its complexity at
+    detection-matching sizes: the single-phase solver empirically
+    converges well inside ``max_rounds`` even on near-tie-heavy cost
+    matrices (see tests/test_matcher.py stress tests), and
+    ``return_state`` surfaces the residual risk instead of hiding it.
+
+    Args:
+        cost: ``[N, M]`` float cost of assigning query n to target m
+            (N >= M; every *real* target gets a distinct query).
+        target_mask: optional ``[M]`` {0,1}; masked-out targets are not
+            assigned (their returned index is valid but meaningless).
+        eps: bid increment; suboptimality is bounded by ``M * eps``.
+        max_rounds: iteration bound for the while_loop.
+        return_state: also return a ``converged`` bool scalar — False
+            means some active target never won a query within the round
+            budget and its index fell back to ``argmin`` (possibly a
+            duplicate).  Callers that must not silently accept a
+            degenerate matching should check it.
+
+    Returns:
+        ``query_idx [M]`` int32 — the query assigned to each target
+        (and ``converged`` if ``return_state``).
+    """
+    N, M = cost.shape
+    profit = -cost.astype(jnp.float32).T  # [M, N]: targets bid for queries
+    if target_mask is not None:
+        active = target_mask.astype(bool)
+    else:
+        active = jnp.ones((M,), bool)
+
+    price0 = jnp.zeros((N,), jnp.float32)
+    owner, _ = _auction_phase(
+        profit, active, jnp.float32(eps), price0, max_rounds
+    )
+
+    # per-target assigned query: the query it owns (argmin-cost fallback
+    # only for non-termination, surfaced via ``converged``)
     owns = owner[None, :] == jnp.arange(M)[:, None]  # [M, N]
     q_idx = jnp.argmax(owns, axis=1)
     any_own = jnp.any(owns, axis=1)
     fallback = jnp.argmin(cost, axis=0).astype(q_idx.dtype)
-    return jnp.where(any_own, q_idx, fallback).astype(jnp.int32)
+    out = jnp.where(any_own, q_idx, fallback).astype(jnp.int32)
+    if return_state:
+        return out, jnp.all(~active | any_own)
+    return out
 
 
 def matching_cost(logits, boxes, labels, tboxes, class_weight=1.0, box_weight=5.0):

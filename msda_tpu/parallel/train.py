@@ -23,7 +23,7 @@ __all__ = ["detection_loss", "make_train_step", "replicate_params", "shard_param
 
 
 def detection_loss(outputs, targets, matcher: str = "fixed",
-                   aux_weight: float = 1.0):
+                   aux_weight: float = 1.0, enc_weight: float = 1.0):
     """Detection loss (classification CE + L1 box, arXiv:2010.04159 §4.1).
 
     targets: dict(labels=[B, M] int (num_classes = background last),
@@ -39,13 +39,61 @@ def detection_loss(outputs, targets, matcher: str = "fixed",
     ``DeformableDetr(with_box_refinement=True)``), each aux head pays the
     same loss scaled by ``aux_weight`` — the paper's deep supervision
     (arXiv:2010.04159 §A.1, "auxiliary losses at each decoder layer").
+
+    When ``outputs`` carries ``"enc"`` (two-stage encoder proposals from
+    ``DeformableDetr(two_stage=True)``), the proposal heads pay an
+    objectness + box loss scaled by ``enc_weight`` (see
+    :func:`_enc_proposal_loss`) — without it the proposal heads receive no
+    gradient at all, because the decoder consumes detached references.
     """
     loss = _single_detection_loss(outputs, targets, matcher)
     for aux_out in outputs.get("aux", ()):
         loss = loss + aux_weight * _single_detection_loss(
             aux_out, targets, matcher
         )
+    if "enc" in outputs:
+        loss = loss + enc_weight * _enc_proposal_loss(
+            outputs["enc"], targets
+        )
     return loss
+
+
+def _enc_proposal_loss(enc, targets):
+    """Two-stage encoder proposal loss (arXiv:2010.04159 §A.4 recipe,
+    jit-friendly variant).
+
+    Each real target is assigned the proposal whose *anchor* center is
+    nearest its box center (static-shape center assignment instead of the
+    paper's Hungarian pass over all ~I proposals — the anchors ride along
+    in ``enc["anchors"]``).  Assigned proposals pay binary objectness +
+    L1 box losses; every other pixel pays background objectness, with the
+    positive/negative halves normalized separately so ~I background pixels
+    cannot drown out the handful of positives.
+    """
+    obj = enc["logits"][..., 0]  # [B, I]
+    pboxes = enc["boxes"]        # [B, I, 4]
+    anchors = enc["anchors"]     # [I, 4] normalized cxcywh
+    tboxes = targets["boxes"]    # [B, M, 4]
+    mask = targets["mask"]       # [B, M]
+
+    # nearest-anchor-center assignment per target: [B, M]
+    d = jnp.abs(
+        anchors[None, :, None, :2] - tboxes[:, None, :, :2]
+    ).sum(-1)  # [B, I, M]
+    idx = jnp.argmin(d, axis=1)
+
+    num_pixels = obj.shape[1]
+    onehot = jax.nn.one_hot(idx, num_pixels) * mask[..., None]  # [B, M, I]
+    pos = jnp.clip(onehot.sum(axis=1), 0.0, 1.0)  # [B, I]
+    bce = optax.sigmoid_binary_cross_entropy(obj, pos)
+    n_pos = jnp.maximum(pos.sum(), 1.0)
+    n_neg = jnp.maximum((1.0 - pos).sum(), 1.0)
+    obj_loss = (bce * pos).sum() / n_pos + (bce * (1.0 - pos)).sum() / n_neg
+
+    sel = jnp.take_along_axis(pboxes, idx[..., None], axis=1)  # [B, M, 4]
+    l1 = jnp.abs(sel - tboxes).sum(-1)
+    box_loss = (l1 * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    return obj_loss + box_loss
 
 
 def _single_detection_loss(outputs, targets, matcher):
@@ -134,12 +182,16 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(put, params)
 
 
-def make_train_step(model, optimizer, mesh: Mesh, img_shapes):
+def make_train_step(model, optimizer, mesh: Mesh, img_shapes,
+                    matcher: str = "fixed", aux_weight: float = 1.0,
+                    enc_weight: float = 1.0):
     """Build a jitted, mesh-sharded train step:
     (params, opt_state, pyramid, targets) -> (params, opt_state, loss).
 
     ``pyramid`` entries are sharded (dp, sp over pixels is implicit via the
-    op constraints), targets over dp.
+    op constraints), targets over dp.  ``matcher``/``aux_weight``/
+    ``enc_weight`` are threaded to :func:`detection_loss`, so e.g.
+    ``matcher="auction"`` trains with the DETR bipartite-matching recipe.
     """
 
     def loss_fn(params, pyramid, targets):
@@ -150,7 +202,8 @@ def make_train_step(model, optimizer, mesh: Mesh, img_shapes):
             for f in pyramid
         ]
         outputs = model.apply(params, pyramid, img_shapes)
-        return detection_loss(outputs, targets)
+        return detection_loss(outputs, targets, matcher=matcher,
+                              aux_weight=aux_weight, enc_weight=enc_weight)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, pyramid, targets):

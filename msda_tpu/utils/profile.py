@@ -37,9 +37,11 @@ def trace(log_dir: str | os.PathLike, *, block: bool = True):
         yield log_dir
     finally:
         if block:
-            # drain: any array produced inside the region is finished by
-            # this barrier, so its device timeline lands in the trace
-            (jax.device_put(0.0) + 0).block_until_ready()
+            # drain: block on a dummy computation on *every* device, so
+            # in-flight work anywhere (mesh runs, non-default
+            # default_device) finishes before the trace closes
+            for dev in jax.devices():
+                jax.device_put(0.0, dev).block_until_ready()
         jax.profiler.stop_trace()
 
 

@@ -121,14 +121,14 @@ def test_detr_box_refinement_and_aux():
     assert "box_refine_0" in names, names
 
 
-def test_postprocess():
+def test_postprocess_sigmoid():
     from msda_tpu.models import postprocess
 
     rng = np.random.default_rng(1)
     B, N, K = 2, 6, 4
     logits = jnp.asarray(rng.standard_normal((B, N, K)), jnp.float32)
     boxes = jnp.asarray(rng.random((B, N, 4)), jnp.float32)
-    out = jax.jit(lambda o: postprocess(o, top_k=5))(
+    out = jax.jit(lambda o: postprocess(o, top_k=5, scoring="sigmoid"))(
         {"logits": logits, "boxes": boxes}
     )
     assert out["scores"].shape == (B, 5)
@@ -145,6 +145,33 @@ def test_postprocess():
         )
     # scores sorted descending
     assert np.all(np.diff(np.asarray(out["scores"]), axis=1) <= 1e-7)
+
+
+def test_postprocess_softmax_drops_background():
+    """Default scoring pairs with detection_loss's CE convention: the last
+    class is background and must never be emitted as a detection."""
+    from msda_tpu.models import postprocess
+
+    rng = np.random.default_rng(3)
+    B, N, K = 2, 6, 4  # class K-1 = background
+    logits = np.asarray(rng.standard_normal((B, N, K)), np.float32)
+    # make background the argmax for every query: it must still not win
+    logits[..., -1] += 10.0
+    boxes = jnp.asarray(rng.random((B, N, 4)), jnp.float32)
+    out = jax.jit(lambda o: postprocess(o, top_k=5))(
+        {"logits": jnp.asarray(logits), "boxes": boxes}
+    )
+    labels = np.asarray(out["labels"])
+    assert labels.max() < K - 1, "background class emitted as a detection"
+    # scores are softmax posteriors of real classes
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = (e / e.sum(-1, keepdims=True))[..., :-1].reshape(B, N * (K - 1))
+    for b in range(B):
+        assert float(out["scores"][b, 0]) == pytest.approx(
+            float(probs[b].max()), rel=1e-5)
+    with pytest.raises(ValueError):
+        postprocess({"logits": jnp.asarray(logits), "boxes": boxes},
+                    scoring="bogus")
 
 
 def test_detection_loss_aux_deep_supervision():
@@ -197,19 +224,36 @@ def test_detr_two_stage():
         params = model.init(jax.random.PRNGKey(0), pyramid, shapes)
         out = jax.jit(lambda p: model.apply(p, pyramid, shapes))(params)
 
-        # gradients flow into the proposal heads (through enc outputs)
+        # gradients flow into the proposal heads through the REAL training
+        # objective: detection_loss consumes outputs["enc"] (objectness +
+        # box loss on anchor-assigned proposals) — without that term the
+        # proposal heads would stay at init (decoder uses detached refs)
+        rng2 = np.random.default_rng(5)
+        targets = {
+            "labels": jnp.asarray(rng2.integers(0, 4, (2, 8)), jnp.int32),
+            "boxes": jnp.asarray(rng2.random((2, 8, 4)) * 0.5 + 0.25,
+                                 jnp.float32),
+            "mask": jnp.ones((2, 8), jnp.float32),
+        }
+
         def loss(p):
-            o = model.apply(p, pyramid, shapes)
-            return (jnp.sum(o["boxes"] ** 2)
-                    + jnp.sum(o["enc"]["logits"] ** 2)
-                    + jnp.sum(o["enc"]["boxes"] ** 2))
+            return detection_loss(model.apply(p, pyramid, shapes), targets)
 
         grads = jax.jit(jax.grad(loss))(params)
+
+        # enc_weight=0 removes the enc term entirely
+        l_full = float(jax.jit(loss)(params))
+        l_no_enc = float(detection_loss(out, targets, enc_weight=0.0))
+        l_dec_only = float(detection_loss(
+            {k: v for k, v in out.items() if k != "enc"}, targets))
     assert out["logits"].shape == (2, 8, 5)
     assert out["boxes"].shape == (2, 8, 4)
     assert out["enc"]["boxes"].shape == (2, I, 4)
+    assert out["enc"]["anchors"].shape == (I, 4)
     assert np.all(np.isfinite(np.asarray(out["boxes"])))
     g_enc = grads["params"]["enc_box_head"]["kernel"]
     assert float(np.abs(np.asarray(g_enc)).max()) > 0
     g_obj = grads["params"]["enc_objectness"]["kernel"]
     assert float(np.abs(np.asarray(g_obj)).max()) > 0
+    assert l_no_enc == pytest.approx(l_dec_only, rel=1e-6)
+    assert l_full > l_no_enc  # enc term is active and positive

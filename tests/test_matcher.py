@@ -44,6 +44,40 @@ def test_auction_under_jit_vmap():
         assert len(set(out[b].tolist())) == 5
 
 
+@pytest.mark.parametrize("n,m,seed", [(40, 40, 0), (64, 48, 1)])
+def test_auction_near_tie_stress(n, m, seed):
+    """Near-tie-heavy cost matrices (the e-scaling motivation): many
+    identical/epsilon-apart costs must still converge to a valid distinct
+    matching near the optimum, with converged=True."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 3, (n, m)).astype(np.float32)  # heavy ties
+    cost = base + rng.random((n, m)).astype(np.float32) * 1e-6
+    got, converged = jax.jit(
+        lambda c: auction_assignment(c, eps=1e-5, return_state=True)
+    )(jnp.asarray(cost))
+    got = np.asarray(got)
+    assert bool(converged), "auction failed to converge on near-tie costs"
+    assert len(set(got.tolist())) == m, "duplicate query assignment"
+    rows, cols = scipy_opt.linear_sum_assignment(cost)
+    want = np.empty(m, np.int64)
+    want[cols] = rows
+    got_cost = cost[got, np.arange(m)].sum()
+    opt_cost = cost[want, np.arange(m)].sum()
+    assert got_cost <= opt_cost + m * 1e-4, (got_cost, opt_cost)
+
+
+def test_auction_constant_cost_matrix():
+    """Fully degenerate (all-equal) costs: every matching is optimal; the
+    solver must still emit a distinct assignment and report convergence."""
+    cost = jnp.ones((12, 12), jnp.float32)
+    got, converged = jax.jit(
+        lambda c: auction_assignment(c, eps=1e-4, return_state=True)
+    )(cost)
+    got = np.asarray(got)
+    assert bool(converged)
+    assert len(set(got.tolist())) == 12
+
+
 def test_detection_loss_auction_matches_permuted_targets():
     """With a permutation-matched prediction set, the auction loss must be
     (near) permutation-invariant while the fixed loss is not."""
