@@ -132,20 +132,39 @@ class MultiscaleDeformableAttention(nn.Module):
             )
 
         if self.mesh is not None:
+            from ..ops.msda import resolved_impl
             from ..parallel.sharding import (
+                shard_map_multiscale_deformable_attention,
                 sharded_multiscale_deformable_attention,
             )
 
-            out = sharded_multiscale_deformable_attention(
-                self.mesh,
-                img_p,
-                shapes,
-                sampling_points,
-                attention_weights,
-                self.padding_mode,
-                self.align_corners,
-                impl=self.impl,
-            )
+            # GSPMD partitions every XLA impl through sharding
+            # constraints, but cannot partition a pallas_call
+            # (parallel/sharding.py docs); when the op resolves to the
+            # Pallas kernels, go through shard_map so each device runs
+            # the kernel on its local (dp, sp, tp) shard.
+            if resolved_impl(self.impl, shapes, img_p.dtype) == "pallas":
+                out = shard_map_multiscale_deformable_attention(
+                    self.mesh,
+                    img_p,
+                    shapes,
+                    sampling_points,
+                    attention_weights,
+                    self.padding_mode,
+                    self.align_corners,
+                    impl="pallas",
+                )
+            else:
+                out = sharded_multiscale_deformable_attention(
+                    self.mesh,
+                    img_p,
+                    shapes,
+                    sampling_points,
+                    attention_weights,
+                    self.padding_mode,
+                    self.align_corners,
+                    impl=self.impl,
+                )
         else:
             out = multiscale_deformable_attention(
                 img_p,

@@ -110,6 +110,24 @@ def _resolve_impl(impl: str, shapes_tuple, dtype) -> str:
     return impl
 
 
+def resolved_impl(impl: str, img_shapes, dtype) -> str:
+    """Which implementation ``multiscale_deformable_attention`` will run.
+
+    Public so callers that must place the op differently per backend can
+    ask first — in particular the module's mesh path
+    (models/attention.py): GSPMD can partition every XLA impl but not a
+    ``pallas_call``, so when this returns "pallas" the op must go through
+    ``parallel.shard_map_multiscale_deformable_attention`` instead of
+    sharding constraints.
+    """
+    if isinstance(img_shapes, jax.core.Tracer):
+        shapes_tuple = None
+    else:
+        shapes_np = np.asarray(jax.device_get(img_shapes))
+        shapes_tuple = tuple((int(h), int(w)) for h, w in shapes_np)
+    return _resolve_impl(impl, shapes_tuple, dtype)
+
+
 def _shapes_arg(shapes_tuple, img_shapes):
     """Concrete shapes travel as a static tuple; traced ones as the array."""
     if shapes_tuple is not None:

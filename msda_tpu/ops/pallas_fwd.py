@@ -30,8 +30,11 @@ coordinates (``point_geometry``), matching grid_sample semantics (reference
 kernels.py:120-252); only the raw (x, y, weight) arrays ever touch HBM.
 
 Cost model (measured on this chip): VPU A-build and MXU passes are
-*additive* (no VPU/MXU overlap materializes), so the scheme minimizes their
-sum per dtype:
+*additive* in any correct kernel structure — Mosaic drains queued VPU
+stores before a dot whose operand the kernel built, for every pipelining
+shape we could express (10-variant campaign, docs/PERF_NOTES.md "VPU/MXU
+overlap: the real mechanism") — so the scheme minimizes their sum per
+dtype:
 
   * bf16/f16 inputs  -> ``scheme="bf16"``: f32 build, one bf16 MXU pass.
   * f32 default      -> ``scheme="x3"``: A split into two exact bf16 parts
@@ -70,12 +73,20 @@ __all__ = [
     "resolve_scheme",
 ]
 
-# queries per grid step (lane width).
+# queries per grid step (lane width).  ``_pick_nblk`` doubles this when it
+# does not increase query padding (fewer grid steps, measured ~4% faster
+# at the 10k-query benchmark point).
 N_BLOCK = 1024
 
 # y-rows per build/dot band: the A slab is materialized (and contracted)
 # YB rows at a time, bounding its VMEM footprint to YB*w8*nblk.
 YB = 8
+
+# Target A-slab rows per band.  Each level uses yb = BAND_ROWS // w8
+# (clamped to [YB, h]), so small levels collapse into a single band/dot —
+# fewer per-band MXU sync points (measured win at the benchmark pyramid,
+# where levels 1-3 each fuse into one dot).
+BAND_ROWS = 1024
 
 # Module default for interpreter mode; entry points take an explicit
 # ``interpret=`` argument (tests pass it instead of mutating this).
@@ -88,6 +99,13 @@ _BF16 = jnp.bfloat16
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _pick_nblk(n: int) -> int:
+    """Query-block width: double N_BLOCK when it does not increase the
+    padded query count (fewer grid steps for free at large N)."""
+    base = _round_up(n, N_BLOCK)
+    return 2 * N_BLOCK if _round_up(n, 2 * N_BLOCK) == base else N_BLOCK
 
 
 def level_layout(shapes):
@@ -112,16 +130,18 @@ def level_layout(shapes):
     return offs, pitches, _round_up(max(off, 128), 128)
 
 
-def build_e_matrix(img, shapes):
-    """img [B, I, H, C] -> E [B, H, I_pad, C] f32, levels at padded pitch.
+def build_e_matrix(img, shapes, out_dtype=None):
+    """img [B, I, H, C] -> E [B, H, I_pad, C], levels at padded pitch.
 
     The value matrix for the kernel's contraction; rows outside any level
     (pitch padding, inter-level gaps, tail) are zero so garbage in the
-    matching A rows cannot contribute.
+    matching A rows cannot contribute.  ``out_dtype`` defaults to f32; the
+    bf16 scheme passes bf16 so the relayout never materializes an f32
+    copy (the MXU operand is bf16 anyway).
     """
     B, I, H, C = img.shape  # noqa: E741
     offs, pitches, ipad = level_layout(shapes)
-    imgT = img.astype(_F32).transpose(0, 2, 1, 3)  # [B, H, I, C]
+    imgT = img.astype(out_dtype or _F32).transpose(0, 2, 1, 3)  # [B,H,I,C]
     parts = []
     start = 0
     for li, (h, w) in enumerate(shapes):
@@ -306,14 +326,24 @@ def split_bf16_xla(x):
 
 
 def band_dot(e_band, a_band, scheme, C):
-    """One band's transposed fold contraction -> [C, nblk] f32.
+    """One band's transposed fold contraction(s).
 
     ``e_band``: [rows, C] f32 (schemes bf16/highest) or [rows, 2C] bf16
     ``[E_h | E_l]`` (scheme x3).  ``a_band``: [rows, nblk] f32.
 
+    Returns ``(d1, d2)`` partial products accumulated *separately* by the
+    caller (d2 is None except for x3).  Keeping each dot a pure
+    accumulate — no dependent elementwise epilogue per band — lets Mosaic
+    fuse the accumulation into the MXU instead of round-tripping a [2C,
+    nblk] add per band.
+
     x3: three cross terms of the exact 2-way bf16 splits,
         d1 = [E_h|E_l]^T A_h   (A_h against both E parts)
         d2 = E_h^T A_l         (the dropped A_l@E_l term is ~2^-18)
+    bf16: the f32 slab is handed to a DEFAULT-precision dot directly —
+        Mosaic's operand streaming rounds it to bf16 for free, so an
+        explicit ``astype(bf16)`` VPU pass would be pure waste (measured
+        ~0.2 ms at the 10k benchmark point).
     """
     dn = (((0,), (0,)), ((), ()))
     if scheme == "x3":
@@ -322,14 +352,20 @@ def band_dot(e_band, a_band, scheme, C):
             e_band, a_h, dn, preferred_element_type=_F32)  # [2C, nblk]
         d2 = jax.lax.dot_general(
             e_band[:, :C], a_l, dn, preferred_element_type=_F32)
-        return d1[:C] + d1[C:] + d2
+        return d1, d2
     if scheme == "highest":
         return jax.lax.dot_general(
             e_band, a_band, dn, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=_F32)
-    # bf16: single MXU pass
+            preferred_element_type=_F32), None
+    # bf16: single MXU pass, f32 operand rounded in-stream
     return jax.lax.dot_general(
-        e_band, a_band.astype(_BF16), dn, preferred_element_type=_F32)
+        e_band, a_band, dn, preferred_element_type=_F32), None
+
+
+def level_yb(h, w8):
+    """Per-level band height: ~BAND_ROWS rows per band, whole level when
+    it fits (one dot for each small level)."""
+    return max(YB, min(int(h), BAND_ROWS // int(w8)))
 
 
 def _fwd_kernel(
@@ -341,23 +377,27 @@ def _fwd_kernel(
     padding_mode, align_corners,
 ):
     """One grid step: one (b, h) pyramid slice x one block of queries."""
-    xin = x_ref[0, 0]
-    yin = y_ref[0, 0]
-    wt = wt_ref[0, 0]
+    xin = x_ref[0, 0].astype(_F32)
+    yin = y_ref[0, 0].astype(_F32)
+    wt = wt_ref[0, 0].astype(_F32)
     ew = ecat_ref[0, 0]
-    o = None
+    o1 = jnp.zeros((2 * C if scheme == "x3" else C, nblk), _F32)
+    o2 = jnp.zeros((C, nblk), _F32)
     for li, (h, w) in enumerate(level_dims):
         w8 = pitches[li]
         off = level_offs[li]
         wys, vxs = level_point_factors(
             xin[li], yin[li], wt[li], h, w, w8, nblk,
             padding_mode, align_corners)
-        for roff, a_band in band_slabs(wys, vxs, h, w8, nblk):
+        for roff, a_band in band_slabs(wys, vxs, h, w8, nblk,
+                                       yb=level_yb(h, w8)):
             rows = a_band.shape[0]
             e_band = ew[off + roff:off + roff + rows, :]
-            d = band_dot(e_band, a_band, scheme, C)
-            o = d if o is None else o + d
-    out_ref[0, 0] = o
+            d1, d2 = band_dot(e_band, a_band, scheme, C)
+            o1 = o1 + d1
+            if d2 is not None:
+                o2 = o2 + d2
+    out_ref[0, 0] = (o1[:C] + o1[C:] + o2) if scheme == "x3" else o1
 
 
 @functools.partial(
@@ -377,30 +417,32 @@ def _pallas_fwd(
     level_dims = tuple((int(h), int(w)) for h, w in shapes)
 
     geom = prepare_inputs(sampling_points, attention_weights)
-    n_pad = _round_up(N, N_BLOCK)
+    nblk = _pick_nblk(N)
+    n_pad = _round_up(N, nblk)
     geom = _pad_queries(geom, N, n_pad)
 
     if interpret:
         # the interpreter emulates bf16 dots coarsely; use exact f32
         scheme = "highest"
 
-    e = build_e_matrix(img, shapes)
+    e = build_e_matrix(img, shapes,
+                       out_dtype=_BF16 if scheme == "bf16" else None)
     if scheme == "x3":
         e_h, e_l = split_bf16_xla(e)
         e_cat = jnp.concatenate([e_h, e_l], axis=3)  # [B, H, ipad, 2C] bf16
         ndim = 2 * C
     elif scheme == "bf16":
-        e_cat = e.astype(_BF16)
+        e_cat = e
         ndim = C
     else:
         e_cat = e
         ndim = C
 
-    grid = (B * H, n_pad // N_BLOCK)
+    grid = (B * H, n_pad // nblk)
 
     def pt_spec():
         return pl.BlockSpec(
-            (1, 1, L, P, N_BLOCK),
+            (1, 1, L, P, nblk),
             lambda bh, nb: (bh // H, bh % H, 0, 0, nb),
             memory_space=pltpu.VMEM,
         )
@@ -411,7 +453,7 @@ def _pallas_fwd(
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
-        (1, 1, C, N_BLOCK),
+        (1, 1, C, nblk),
         lambda bh, nb: (bh // H, bh % H, 0, nb),
         memory_space=pltpu.VMEM,
     )
@@ -422,7 +464,7 @@ def _pallas_fwd(
         level_offs=tuple(level_offs),
         pitches=tuple(pitches),
         C=C,
-        nblk=N_BLOCK,
+        nblk=nblk,
         scheme=scheme,
         padding_mode=padding_mode,
         align_corners=bool(align_corners),
@@ -478,17 +520,32 @@ def pallas_multiscale_deformable_attention(
     shapes_tuple = tuple((int(h), int(w)) for h, w in shapes)
     if interpret is None:
         interpret = INTERPRET
+    scheme = resolve_scheme(img.dtype, precision)
     # Trace with x64 locally disabled: every kernel input/output is an
     # explicit f32/int32, but under jax_enable_x64 stray Python-int scalars
     # become 64-bit inside the kernel trace and Mosaic's dtype-conversion
     # helper recurses forever on 64-bit casts (observed: RecursionError
     # during lowering).  Disabling x64 for the trace changes no semantics.
     with jax.enable_x64(False):
+        from . import pallas_stream
+
+        if pallas_stream.use_streaming_fwd(
+                shapes, img.shape[3], scheme,
+                _pick_nblk(sampling_points.shape[1])):
+            # pyramid too large for VMEM residency: banded streaming path
+            return pallas_stream.stream_fwd(
+                img, sampling_points, attention_weights,
+                shapes_tuple=shapes_tuple,
+                padding_mode=padding_mode,
+                align_corners=bool(align_corners),
+                scheme=scheme,
+                interpret=bool(interpret),
+            )
         return _pallas_fwd(
             img, sampling_points, attention_weights,
             shapes_tuple=shapes_tuple,
             padding_mode=padding_mode,
             align_corners=bool(align_corners),
-            scheme=resolve_scheme(img.dtype, precision),
+            scheme=scheme,
             interpret=bool(interpret),
         )

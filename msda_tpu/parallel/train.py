@@ -182,25 +182,28 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(put, params)
 
 
-def make_train_step(model, optimizer, mesh: Mesh, img_shapes,
+def make_train_step(model, optimizer, mesh: Mesh | None, img_shapes,
                     matcher: str = "fixed", aux_weight: float = 1.0,
                     enc_weight: float = 1.0):
-    """Build a jitted, mesh-sharded train step:
+    """Build a jitted train step:
     (params, opt_state, pyramid, targets) -> (params, opt_state, loss).
 
-    ``pyramid`` entries are sharded (dp, sp over pixels is implicit via the
-    op constraints), targets over dp.  ``matcher``/``aux_weight``/
-    ``enc_weight`` are threaded to :func:`detection_loss`, so e.g.
-    ``matcher="auction"`` trains with the DETR bipartite-matching recipe.
+    With a ``mesh``, inputs carry the (dp, sp, tp) shardings (``pyramid``
+    over dp; sp over pixels is implicit via the op constraints, targets
+    over dp) and GSPMD inserts the collectives; ``mesh=None`` builds the
+    same step single-device.  ``matcher``/``aux_weight``/``enc_weight``
+    are threaded to :func:`detection_loss`, so e.g. ``matcher="auction"``
+    trains with the DETR bipartite-matching recipe.
     """
 
     def loss_fn(params, pyramid, targets):
-        pyramid = [
-            jax.lax.with_sharding_constraint(
-                f, NamedSharding(mesh, P("dp", None, None, None))
-            )
-            for f in pyramid
-        ]
+        if mesh is not None:
+            pyramid = [
+                jax.lax.with_sharding_constraint(
+                    f, NamedSharding(mesh, P("dp", None, None, None))
+                )
+                for f in pyramid
+            ]
         outputs = model.apply(params, pyramid, img_shapes)
         return detection_loss(outputs, targets, matcher=matcher,
                               aux_weight=aux_weight, enc_weight=enc_weight)

@@ -76,15 +76,16 @@ def main():
           f"device={jax.devices()[0]}")
     best = None
     for nb in (512, 1024, 2048):
-        for yb in (8, 16, 32):
-            pf.N_BLOCK, pf.YB = nb, yb
+        for br in (512, 1024, 2048):
+            pf.N_BLOCK, pf.BAND_ROWS = nb, br
             t = time_fwd()
-            tag = f"fwd  N_BLOCK={nb:5d} YB={yb:3d}: {t:8.3f} ms"
+            tag = f"fwd  N_BLOCK={nb:5d} BAND_ROWS={br:5d}: {t:8.3f} ms"
             print(tag)
             if best is None or t < best[0]:
-                best = (t, nb, yb)
-    print(f"best fwd: N_BLOCK={best[1]}, YB={best[2]}  ({best[0]:.3f} ms)")
-    pf.N_BLOCK, pf.YB = best[1], best[2]
+                best = (t, nb, br)
+    print(f"best fwd: N_BLOCK={best[1]}, BAND_ROWS={best[2]}  "
+          f"({best[0]:.3f} ms)")
+    pf.N_BLOCK, pf.BAND_ROWS = best[1], best[2]
 
     bbest = None
     for nb in (256, 512, 1024):

@@ -76,7 +76,7 @@ def main():
     args = ap.parse_args()
 
     from msda_tpu.models.detr import DeformableDetr
-    from msda_tpu.parallel import TrainCheckpointer, detection_loss
+    from msda_tpu.parallel import TrainCheckpointer
 
     rng = np.random.default_rng(0)
     mesh = None
@@ -126,32 +126,18 @@ def main():
         start, params, opt_state = ckpt.restore(params, opt_state)
         print(f"resumed from step {start}")
 
-    if mesh is not None:
-        from msda_tpu.parallel import make_train_step, replicate_params
+    # one code path for both modes: the public training API builds the
+    # step (matcher threading included — no hand-rolled loss closure)
+    from contextlib import nullcontext
 
-        with mesh:
+    from msda_tpu.parallel import make_train_step, replicate_params
+
+    with (mesh if mesh is not None else nullcontext()):
+        if mesh is not None:
             params = replicate_params(params, mesh)
             opt_state = replicate_params(opt_state, mesh)
-            train_step = make_train_step(model, tx, mesh, SHAPES)
-            t0 = time.perf_counter()
-            for step in range(start, start + args.steps):
-                params, opt_state, loss = train_step(
-                    params, opt_state, pyramid, targets)
-                if (step + 1) % 5 == 0 or step == start:
-                    print(f"step {step + 1:4d}  loss {float(loss):.4f}")
-                if (step + 1) % args.ckpt_every == 0:
-                    ckpt.save(step + 1, params, opt_state)
-    else:
-        @jax.jit
-        def train_step(params, opt_state, pyramid, targets):
-            def loss_fn(p):
-                out = model.apply(p, pyramid, SHAPES)
-                return detection_loss(out, targets, matcher="auction")
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
-
+        train_step = make_train_step(model, tx, mesh, SHAPES,
+                                     matcher="auction")
         t0 = time.perf_counter()
         for step in range(start, start + args.steps):
             params, opt_state, loss = train_step(

@@ -121,3 +121,26 @@ def test_hf_parity_pallas_highest(parity_case):
         )
     )
     assert float(np.max(np.abs(got - want))) <= 1e-5
+
+
+@pytest.mark.slow
+def test_full_model_detection_parity():
+    """Full HF DeformableDetrForObjectDetection, stock vs msda_tpu-patched
+    MSDA: identical ranked top-k detections end to end (the quantitative
+    analogue of the reference's Grounding DINO demo, README.md:25-34).
+    Random-init weights — pretrained checkpoints are not fetchable in this
+    offline environment (documented in scripts/detection_parity.py)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "detection_parity",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "scripts", "detection_parity.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.run_parity(impl="reference")
+    assert res["topk_detections_identical"], res
+    assert res["max_abs_logits_diff"] < 1e-3, res
+    assert res["max_abs_boxes_diff"] < 1e-4, res

@@ -39,7 +39,11 @@ def _data(dtype):
 
 
 @pytest.mark.parametrize(
-    "dtype,impl", list(product(HALF_DTYPES, _impls()))
+    "dtype,impl",
+    # fast lane: bf16 x each impl; the f16 row is `slow` (extra compiles)
+    [p for p in product(HALF_DTYPES, _impls()) if p[0] == jnp.bfloat16]
+    + [pytest.param(*p, marks=pytest.mark.slow)
+       for p in product(HALF_DTYPES, _impls()) if p[0] != jnp.bfloat16],
 )
 def test_half_fwd_bwd(dtype, impl):
     """Forward parity vs the f32 reference + backward parity vs the f32
