@@ -73,11 +73,13 @@ _BF16 = jnp.bfloat16
 
 
 def _fwd_resident_bytes(shapes, C, nblk, scheme):
+    from .pallas_fwd import level_yb
+
     offs, pitches, ipad = level_layout(shapes)
     ebytes = {"x3": 2 * C * 2, "bf16": C * 2, "highest": C * 4}[scheme]
     e = ipad * ebytes
     max_rows = max(
-        max(8, min(int(h), 1024 // int(p))) * int(p)
+        level_yb(int(h), int(p)) * int(p)
         for (h, _), p in zip(shapes, pitches)
     )
     # f32 slab + split halves, x2 for scheduling slack

@@ -61,7 +61,7 @@ def make_data(n, dtype=jnp.float32, seed=0):
     return img, pts, wts, og
 
 
-def bench_fwd(impl, n, dtype=jnp.float32, iters=50):
+def bench_fwd(impl, n, dtype=jnp.float32, iters=150):
     img, pts, wts, _ = make_data(n, dtype)
 
     def step(carry):
@@ -69,10 +69,10 @@ def bench_fwd(impl, n, dtype=jnp.float32, iters=50):
         out = msda(img, SHAPES, pts, wts, PADDING, ALIGN, impl=impl)
         return (img, pts + jnp.asarray(1e-9, dtype), acc + out[0, 0, 0, 0].astype(jnp.float32) * 1e-6)
 
-    return timeit_op(step, (img, pts, jnp.float32(0)), n=iters, repeats=2)
+    return timeit_op(step, (img, pts, jnp.float32(0)), n=iters, repeats=4)
 
 
-def bench_fwdbwd(impl, n, dtype=jnp.float32, iters=30):
+def bench_fwdbwd(impl, n, dtype=jnp.float32, iters=100):
     img, pts, wts, og = make_data(n, dtype)
 
     def step(carry):
@@ -85,7 +85,7 @@ def bench_fwdbwd(impl, n, dtype=jnp.float32, iters=30):
         return (img + ig * eps, pts + pg * eps,
                 acc + out[0, 0, 0, 0].astype(jnp.float32) * 1e-6)
 
-    return timeit_op(step, (img, pts, jnp.float32(0)), n=iters, repeats=2)
+    return timeit_op(step, (img, pts, jnp.float32(0)), n=iters, repeats=4)
 
 
 def _memory_probe(impl, n, dtype=jnp.float32):
@@ -189,8 +189,13 @@ def main():
     for impl, dtype in configs:
         dt = jnp.dtype(dtype).name
         for n in args.queries:
-            t_f = bench_fwd(impl, n, dtype) * 1e3
-            t_fb = bench_fwdbwd(impl, n, dtype) * 1e3
+            # the XLA-gather reference is ~30x slower at large N; scale the
+            # iteration count so one row stays under ~a minute
+            slow = impl == "reference" and n >= 900
+            t_f = bench_fwd(impl, n, dtype,
+                            iters=20 if slow else 150) * 1e3
+            t_fb = bench_fwdbwd(impl, n, dtype,
+                                iters=10 if slow else 100) * 1e3
             mem = mems.get((impl, dtype, n), float("nan"))
             rows.append(dict(impl=impl, dtype=dt, num_queries=n,
                              fwd_ms=round(t_f, 3), fwdbwd_ms=round(t_fb, 3),
