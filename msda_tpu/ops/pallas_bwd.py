@@ -57,14 +57,14 @@ from .pallas_fwd import (
     INTERPRET,
     _round_up,
     band_slabs,
-    build_e_matrix,
+    build_e_operands,
     level_layout,
     make_sparse_factor,
+    mask_tail_queries,
     point_geometry,
     prepare_inputs,
     resolve_scheme,
     split_bf16,
-    split_bf16_xla,
 )
 
 __all__ = ["pallas_msda_bwd"]
@@ -147,19 +147,27 @@ def _ig_band_dot(a_band, og, og_parts, scheme, C):
 def _bwd_kernel(
     x_ref, y_ref, wt_ref,
     og_ref, ecat_ref,
-    wg_ref, gx_ref, gy_ref, ig_ref,
-    *, level_dims, level_offs, pitches, ipad, C, nblk, scheme,
+    wg_ref, gxy_ref, ig_ref,
+    *, level_dims, level_offs, pitches, ipad, C, n, nblk, scheme,
     padding_mode, align_corners,
 ):
     P = wt_ref.shape[3]
     nb = pl.program_id(1)
 
     og = og_ref[0, 0].astype(_F32)  # [nblk, C]
-    G, og_parts = _g_dot(ecat_ref[0, 0], og, scheme, C)
-
     xin = x_ref[0, 0].astype(_F32)
     yin = y_ref[0, 0].astype(_F32)
     wt = wt_ref[0, 0].astype(_F32)
+    if n % nblk:
+        # inputs are unpadded; mask the last block's garbage tail (the
+        # ig accumulation sees every block, so og/wt MUST be zeroed and
+        # the coordinates NaN-sanitized — see mask_tail_queries)
+        xin, yin, wt = mask_tail_queries(xin, yin, wt, n, nblk, nb)
+        rem = jnp.asarray(n, _I32) - nb * jnp.asarray(nblk, _I32)
+        qvalid = jax.lax.broadcasted_iota(_I32, (nblk, 1), 0) < rem
+        og = jnp.where(qvalid, og, jnp.asarray(0.0, _F32))
+
+    G, og_parts = _g_dot(ecat_ref[0, 0], og, scheme, C)
 
     # One fused pass per (level, point): the per-point gradient reductions
     # and the rematerialized A band slabs (for img_grad) share the same
@@ -194,8 +202,10 @@ def _bwd_kernel(
             rowyd = jnp.sum(Gl * vxd[None], axis=1)  # [h, nblk]
             wg_ref[0, 0, li, p] = jnp.sum(wy * rowy, axis=0)
             wtp = wt[li, p]
-            gx_ref[0, 0, li, p] = xsc * wtp * jnp.sum(wy * rowyd, axis=0)
-            gy_ref[0, 0, li, p] = ysc * wtp * jnp.sum(wyd * rowy, axis=0)
+            gxy_ref[0, 0, li, p, 0] = (
+                xsc * wtp * jnp.sum(wy * rowyd, axis=0))
+            gxy_ref[0, 0, li, p, 1] = (
+                ysc * wtp * jnp.sum(wyd * rowy, axis=0))
             wys_w.append(wy * wtp[None])
             vxs.append(vx)
         # img_grad remat: banded A slabs -> transposed MXU contractions
@@ -236,35 +246,19 @@ def _pallas_bwd(
     level_dims = tuple((int(h), int(w)) for h, w in shapes)
 
     geom = prepare_inputs(sampling_points, attention_weights)
-    n_pad = _round_up(N, N_BLOCK)
-    if n_pad != N:
-        pad = [(0, 0)] * 4 + [(0, n_pad - N)]
-        geom = tuple(jnp.pad(t, pad) for t in geom)
-
+    # geometry and out_grad go to the kernel UNPADDED; the last grid
+    # block's ragged tail is masked in-kernel (mask_tail_queries)
     og = out_grad.astype(_F32).transpose(0, 2, 1, 3)  # [B, H, N, C]
-    if n_pad != N:
-        og = jnp.pad(og, [(0, 0), (0, 0), (0, n_pad - N), (0, 0)])
 
     if interpret:
         scheme = "highest"  # exact f32 path for the interpreter
 
-    e = build_e_matrix(img, shapes,
-                       out_dtype=_BF16 if scheme == "bf16" else None)
-    if scheme == "x3":
-        e_h, e_l = split_bf16_xla(e)
-        # [E_h | E_l] — identical to the forward's operand, so a jitted
-        # fwd+bwd shares ONE e_cat allocation; the kernel duplicates to
-        # [E_h|E_h|E_l|E_l] in VMEM for the K=4C G-dot (_g_dot)
-        e_cat = jnp.concatenate([e_h, e_l], axis=3)
-        ecdim = 2 * C
-    elif scheme == "bf16":
-        e_cat = e
-        ecdim = C
-    else:
-        e_cat = e
-        ecdim = C
+    # [E_h | E_l] — identical to the forward's operand, so a jitted
+    # fwd+bwd shares ONE e_cat allocation; the kernel duplicates to
+    # [E_h|E_h|E_l|E_l] in VMEM for the K=4C G-dot (_g_dot)
+    e_cat, ecdim = build_e_operands(img, shapes, scheme)
 
-    grid = (B * H, n_pad // N_BLOCK)
+    grid = (B * H, _round_up(N, N_BLOCK) // N_BLOCK)
 
     def pt_spec():
         return pl.BlockSpec(
@@ -283,6 +277,11 @@ def _pallas_bwd(
         lambda bh, nb: (bh // H, bh % H, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    gxy_spec = pl.BlockSpec(
+        (1, 1, L, P, 2, N_BLOCK),
+        lambda bh, nb: (bh // H, bh % H, 0, 0, 0, nb),
+        memory_space=pltpu.VMEM,
+    )
     ig_spec = pl.BlockSpec(
         (1, 1, C, ipad),
         lambda bh, nb: (bh // H, bh % H, 0, 0),
@@ -296,21 +295,25 @@ def _pallas_bwd(
         pitches=tuple(pitches),
         ipad=ipad,
         C=C,
+        n=N,
         nblk=N_BLOCK,
         scheme=scheme,
         padding_mode=padding_mode,
         align_corners=bool(align_corners),
     )
 
-    wg, gx, gy, ig = pl.pallas_call(
+    # out_shapes carry the true (unpadded) N — the ragged tail of the last
+    # block's writes is dropped by Pallas; gx/gy are ONE [..., 2, N] output
+    # so the epilogue is a single transpose into the public pts_grad layout
+    # instead of two pads + a stack.
+    wg, gxy, ig = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pt_spec() for _ in range(3)] + [og_spec, e_spec],
-        out_specs=[pt_spec(), pt_spec(), pt_spec(), ig_spec],
+        out_specs=[pt_spec(), gxy_spec, ig_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, L, P, n_pad), _F32),
-            jax.ShapeDtypeStruct((B, H, L, P, n_pad), _F32),
-            jax.ShapeDtypeStruct((B, H, L, P, n_pad), _F32),
+            jax.ShapeDtypeStruct((B, H, L, P, N), _F32),
+            jax.ShapeDtypeStruct((B, H, L, P, 2, N), _F32),
             jax.ShapeDtypeStruct((B, H, C, ipad), _F32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -320,11 +323,8 @@ def _pallas_bwd(
         interpret=interpret,
     )(*geom, og, e_cat)
 
-    def fold_pts(t):  # [B, H, L, P, n_pad] -> [B, N, H, L, P]
-        return t[..., :N].transpose(0, 4, 1, 2, 3)
-
-    wg = fold_pts(wg)
-    pts_grad = jnp.stack([fold_pts(gx), fold_pts(gy)], axis=-1)
+    wg = wg.transpose(0, 4, 1, 2, 3)          # [B, N, H, L, P]
+    pts_grad = gxy.transpose(0, 5, 1, 2, 3, 4)  # [B, N, H, L, P, 2]
 
     # reassemble img grad from the transposed padded-pitch layout
     parts = []

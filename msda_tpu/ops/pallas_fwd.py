@@ -161,6 +161,32 @@ def build_e_matrix(img, shapes, out_dtype=None):
     return e
 
 
+def build_e_operands(img, shapes, scheme):
+    """The kernel's E operand for ``scheme``: ([B, H, ipad, ndim], ndim)
+    where ndim is 2C for x3 (``[E_h | E_l]`` bf16) and C otherwise.
+
+    x3: the exact 2-way bf16 split is applied to the raw ``img`` BEFORE the
+    pyramid relayout (splitting commutes exactly with it — both are
+    elementwise / zero-padding operations), which drops the f32 relayout
+    copy, f32 pad and f32 subtraction temps of a split-after-relayout
+    chain.  Keeping ``[E_h | E_l]`` as ONE fused operand measured better
+    peak-liveness than two separate operands (XLA's minor-axis concatenate
+    lowers to iota/select ops, but they die early; two separate operands
+    rescheduled the graph into a ~45 MB higher peak).  Built identically by
+    the forward and backward wrappers so a jitted fwd+bwd CSEs one
+    allocation.
+    """
+    C = img.shape[3]
+    if scheme == "x3":
+        hi, lo = split_bf16_xla(img.astype(_F32))
+        e_h = build_e_matrix(hi, shapes, out_dtype=_BF16)
+        e_l = build_e_matrix(lo, shapes, out_dtype=_BF16)
+        return jnp.concatenate([e_h, e_l], axis=3), 2 * C
+    if scheme == "bf16":
+        return build_e_matrix(img, shapes, out_dtype=_BF16), C
+    return build_e_matrix(img, shapes), C
+
+
 def prepare_inputs(sampling_points, attention_weights):
     """Transpose the raw per-point inputs to the kernel's query-last layout.
 
@@ -178,6 +204,25 @@ def prepare_inputs(sampling_points, attention_weights):
         return t.transpose(0, 2, 3, 4, 1)  # [B,N,H,L,P] -> [B,H,L,P,N]
 
     return tokl(pts[..., 0]), tokl(pts[..., 1]), tokl(wts)
+
+
+def mask_tail_queries(xin, yin, wt, n, nblk, nb):
+    """Zero the ragged query tail of the last grid block, NaN-safely.
+
+    ``xin``/``yin``/``wt``: [L, P, nblk] — raw block loads whose columns
+    past ``n - nb*nblk`` are undefined memory (the geometry arrays are
+    passed to the kernel *unpadded*; Pallas reads of out-of-bounds block
+    regions are undefined, measured garbage on this chip).  ``jnp.where``
+    (not multiplication) so NaN garbage cannot propagate; the weight mask
+    alone would leave NaN coordinates flowing into the interpolation
+    factors.
+    """
+    rem = jnp.asarray(n, _I32) - nb.astype(_I32) * jnp.asarray(nblk, _I32)
+    valid = jax.lax.broadcasted_iota(_I32, (1, nblk), 1) < rem
+    xin = jnp.where(valid[None], xin, jnp.asarray(0.5, _F32))
+    yin = jnp.where(valid[None], yin, jnp.asarray(0.5, _F32))
+    wt = jnp.where(valid[None], wt, jnp.asarray(0.0, _F32))
+    return xin, yin, wt
 
 
 def point_geometry(x, y, h, w, padding_mode, align_corners):
@@ -373,13 +418,16 @@ def _fwd_kernel(
     x_ref, y_ref, wt_ref,
     ecat_ref,
     out_ref,
-    *, level_dims, level_offs, pitches, C, nblk, scheme,
+    *, level_dims, level_offs, pitches, C, n, nblk, scheme,
     padding_mode, align_corners,
 ):
     """One grid step: one (b, h) pyramid slice x one block of queries."""
     xin = x_ref[0, 0].astype(_F32)
     yin = y_ref[0, 0].astype(_F32)
     wt = wt_ref[0, 0].astype(_F32)
+    if n % nblk:
+        xin, yin, wt = mask_tail_queries(
+            xin, yin, wt, n, nblk, pl.program_id(1))
     ew = ecat_ref[0, 0]
     o1 = jnp.zeros((2 * C if scheme == "x3" else C, nblk), _F32)
     o2 = jnp.zeros((C, nblk), _F32)
@@ -418,27 +466,18 @@ def _pallas_fwd(
 
     geom = prepare_inputs(sampling_points, attention_weights)
     nblk = _pick_nblk(N)
-    n_pad = _round_up(N, nblk)
-    geom = _pad_queries(geom, N, n_pad)
+    n_blocks = _round_up(N, nblk) // nblk
+    # NO query padding: the geometry arrays go to the kernel at their true
+    # N and the ragged tail of the last block is masked in-kernel
+    # (mask_tail_queries) — three full-size padded HBM temps saved.
 
     if interpret:
         # the interpreter emulates bf16 dots coarsely; use exact f32
         scheme = "highest"
 
-    e = build_e_matrix(img, shapes,
-                       out_dtype=_BF16 if scheme == "bf16" else None)
-    if scheme == "x3":
-        e_h, e_l = split_bf16_xla(e)
-        e_cat = jnp.concatenate([e_h, e_l], axis=3)  # [B, H, ipad, 2C] bf16
-        ndim = 2 * C
-    elif scheme == "bf16":
-        e_cat = e
-        ndim = C
-    else:
-        e_cat = e
-        ndim = C
+    e_cat, ndim = build_e_operands(img, shapes, scheme)
 
-    grid = (B * H, n_pad // nblk)
+    grid = (B * H, n_blocks)
 
     def pt_spec():
         return pl.BlockSpec(
@@ -464,18 +503,22 @@ def _pallas_fwd(
         level_offs=tuple(level_offs),
         pitches=tuple(pitches),
         C=C,
+        n=N,
         nblk=nblk,
         scheme=scheme,
         padding_mode=padding_mode,
         align_corners=bool(align_corners),
     )
 
+    # out_shape is the true (unpadded) N: Pallas drops the ragged tail of
+    # the last block's write (verified on this chip), so no padded output
+    # buffer or slice epilogue is materialized.
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pt_spec() for _ in range(3)] + [e_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, C, n_pad), _F32),
+        out_shape=jax.ShapeDtypeStruct((B, H, C, N), _F32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -483,7 +526,7 @@ def _pallas_fwd(
         interpret=interpret,
     )(*geom, e_cat)
 
-    out = out[:, :, :, :N].transpose(0, 3, 1, 2)  # [B, N, H, C]
+    out = out.transpose(0, 3, 1, 2)  # [B, N, H, C]
     return out.astype(img.dtype)
 
 

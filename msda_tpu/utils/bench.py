@@ -32,24 +32,48 @@ def timeit_op(
     ``step`` must be a pure function whose output depends on its input
     (a data-dependent chain), so iterations cannot be elided or overlapped
     into nothing by the compiler/runtime.
-    """
 
-    @jax.jit
-    def run(carry):
-        carry, _ = jax.lax.scan(lambda c, _: (step(c), None), carry, None, length=n)
-        return carry
+    Methodology: the scan is timed at two lengths (``n`` and ``n // 3``)
+    and the per-iteration time is the SLOPE ``(T_n - T_n3) / (n - n3)``.
+    A single-length ``T_n / n`` folds a fixed ~40 ms per-call overhead
+    (dispatch, input/output staging through the remote device tunnel) into
+    the per-iteration figure; the slope cancels every cost that does not
+    scale with the iteration count.  Completion is forced by blocking on
+    EVERY output buffer: forcing only the first leaf is not enough — a
+    loop-invariant pass-through carry can alias an input copy whose buffer
+    becomes ready before the scan finishes (measured on this runtime).
+    """
+    n3 = max(1, n // 3)
+
+    def make_run(length):
+        @jax.jit
+        def run(carry):
+            carry, _ = jax.lax.scan(
+                lambda c, _: (step(c), None), carry, None, length=length)
+            return carry
+        return run
+
+    run_n, run_n3 = make_run(n), make_run(n3)
+
+    def force(c):
+        jax.block_until_ready(c)
+        _ = jax.tree.leaves(c)[-1].ravel()[0].item()
+
+    def timed(run):
+        t0 = time.perf_counter()
+        force(run(init_carry))
+        return time.perf_counter() - t0
 
     if warmup:
-        c = run(init_carry)
-        _ = jax.tree.leaves(c)[0].ravel()[0].item()  # force completion
-    times = []
+        force(run_n(init_carry))
+        force(run_n3(init_carry))
+    tn, tn3 = [], []
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        c = run(init_carry)
-        _ = jax.tree.leaves(c)[0].ravel()[0].item()
-        times.append((time.perf_counter() - t0) / n)
-    times.sort()
-    return times[len(times) // 2]
+        tn.append(timed(run_n))
+        tn3.append(timed(run_n3))
+    tn.sort()
+    tn3.sort()
+    return (tn[len(tn) // 2] - tn3[len(tn3) // 2]) / (n - n3)
 
 
 def device_memory_stats(device=None):
