@@ -1,24 +1,27 @@
-"""Full-model detection parity: HF Deformable-DETR, stock vs msda_tpu.
+"""Full-model detection parity: HF detectors, stock vs msda_tpu.
 
 The reference repo's end-to-end demonstration swaps its Triton MSDA into a
 pretrained Grounding DINO and shows identical detections on a COCO image
 (/root/reference/README.md:25-34, assets/images/{torch,triton}_cats.png).
 
 This is the quantitative analogue for this framework: HuggingFace's
-``DeformableDetrForObjectDetection`` (torch CPU) runs an image twice —
-once stock, once with its ``MultiScaleDeformableAttention`` kernel
-monkeypatched to call :func:`msda_tpu.ops.multiscale_deformable_attention`
-— and the script asserts the logits/boxes agree and the ranked top-k
-detections are identical, writing ``outputs/detection_parity.json``.
+``DeformableDetrForObjectDetection`` — and, matching the reference's
+artifact exactly, ``GroundingDinoForObjectDetection`` — (torch CPU) runs
+an image twice: once stock, once with its ``MultiScaleDeformableAttention``
+kernel monkeypatched to call
+:func:`msda_tpu.ops.multiscale_deformable_attention`; the script asserts
+the logits/boxes agree and the ranked top-k detections are identical,
+writing ``outputs/detection_parity.json``.
 
 Pretrained weights are not fetchable in this offline environment, so the
-model is *deterministically random-initialized* (documented deviation from
-the reference's pretrained demo; the parity property being demonstrated —
-the full detection pipeline produces the same boxes through either kernel
-— is the same, and the op-boundary parity against HF's module is covered
-quantitatively in tests/test_detection_parity.py).
+models are *deterministically random-initialized* (documented deviation
+from the reference's pretrained demo; the parity property being
+demonstrated — the full detection pipeline produces the same boxes through
+either kernel — is the same, and the op-boundary parity against HF's
+module is covered quantitatively in tests/test_detection_parity.py).
 
 Usage: python scripts/detection_parity.py [--impl auto|reference|pallas]
+                                          [--model deformable-detr|grounding-dino]
 """
 
 from __future__ import annotations
@@ -58,6 +61,62 @@ def build_model(num_labels=7, seed=0):
     return DeformableDetrForObjectDetection(cfg).eval()
 
 
+def build_grounding_dino(seed=0):
+    """A small random-init Grounding DINO (Swin backbone + BERT text
+    encoder), the model family of the reference's own parity artifact."""
+    import torch
+    from transformers import (
+        BertConfig,
+        GroundingDinoConfig,
+        GroundingDinoForObjectDetection,
+    )
+    from transformers.models.swin.configuration_swin import SwinConfig
+
+    text_cfg = BertConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64,
+    )
+    bb = SwinConfig(
+        image_size=128, patch_size=4, embed_dim=16, depths=[1, 1, 1],
+        num_heads=[1, 2, 4], out_features=["stage1", "stage2", "stage3"],
+        window_size=4,
+    )
+    cfg = GroundingDinoConfig(
+        backbone_config=bb, text_config=text_cfg.to_dict(),
+        d_model=64, encoder_layers=1, decoder_layers=1, num_queries=16,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        num_feature_levels=4,
+    )
+    torch.manual_seed(seed)
+    return GroundingDinoForObjectDetection(cfg).eval()
+
+
+_MSDA_JIT_CACHE = {}
+
+
+def _msda_jitted(impl, shapes_key):
+    """One jitted wrapper per (impl, pyramid): eager dispatch of the op's
+    many primitives is pathologically slow (per-op overhead; minutes for a
+    single model forward on CPU), while the jitted op runs in ms."""
+    import jax
+
+    from msda_tpu.ops import multiscale_deformable_attention
+
+    key = (impl, shapes_key)
+    if key not in _MSDA_JIT_CACHE:
+        shapes = np.asarray(shapes_key, np.int32)
+
+        @jax.jit
+        def f(value, loc, aw):
+            return multiscale_deformable_attention(
+                value, shapes, loc, aw, "zeros", False, impl=impl)
+
+        _MSDA_JIT_CACHE[key] = f
+    return _MSDA_JIT_CACHE[key]
+
+
 def patched_msda_forward(impl):
     """A drop-in replacement for HF's MultiScaleDeformableAttention.forward
     that routes the op through msda_tpu (HF semantics are exactly
@@ -65,20 +124,17 @@ def patched_msda_forward(impl):
     grid_sample call)."""
     import torch
 
-    from msda_tpu.ops import multiscale_deformable_attention
-
     def forward(self, value, value_spatial_shapes,
                 value_spatial_shapes_list, level_start_index,
                 sampling_locations, attention_weights, im2col_step):
         import jax.numpy as jnp
 
-        shapes = np.asarray(value_spatial_shapes_list, np.int32)
-        out = multiscale_deformable_attention(
+        shapes_key = tuple(
+            (int(h), int(w)) for h, w in value_spatial_shapes_list)
+        out = _msda_jitted(impl, shapes_key)(
             jnp.asarray(value.detach().cpu().numpy()),
-            shapes,
             jnp.asarray(sampling_locations.detach().cpu().numpy()),
             jnp.asarray(attention_weights.detach().cpu().numpy()),
-            "zeros", False, impl=impl,
         )
         out = np.asarray(out)
         b, n, h, d = out.shape
@@ -87,20 +143,31 @@ def patched_msda_forward(impl):
     return forward
 
 
-def run_parity(impl="auto", top_k=10, seed=0):
+def run_parity(impl="auto", top_k=10, seed=0, model_name="deformable-detr"):
     import torch
-    from transformers.models.deformable_detr import (
-        modeling_deformable_detr as hf,
-    )
 
-    model = build_model(seed=seed)
     rng = np.random.default_rng(seed)
     image = torch.from_numpy(
         rng.standard_normal((1, 3, 128, 128)).astype(np.float32))
+    if model_name == "grounding-dino":
+        from transformers.models.grounding_dino import (
+            modeling_grounding_dino as hf,
+        )
+
+        model = build_grounding_dino(seed=seed)
+        # a fixed tiny "caption": [CLS] t t t [SEP] over the toy vocab
+        kwargs = dict(input_ids=torch.tensor([[101, 7, 8, 9, 102]]))
+    else:
+        from transformers.models.deformable_detr import (
+            modeling_deformable_detr as hf,
+        )
+
+        model = build_model(seed=seed)
+        kwargs = {}
 
     def detect():
         with torch.no_grad():
-            out = model(pixel_values=image)
+            out = model(pixel_values=image, **kwargs)
         logits = out.logits[0].numpy()        # [N, K]
         boxes = out.pred_boxes[0].numpy()     # [N, 4]
         scores = 1.0 / (1.0 + np.exp(-logits))
@@ -123,7 +190,15 @@ def run_parity(impl="auto", top_k=10, seed=0):
     finally:
         hf.MultiScaleDeformableAttention.forward = stock_fwd
 
-    logits_diff = float(np.abs(stock["logits"] - patched["logits"]).max())
+    # Grounding DINO's contrastive text head emits -inf logits at masked
+    # text positions by design; compare only finite entries and require
+    # the finiteness pattern itself to match (sigmoid(-inf) = 0 keeps the
+    # ranking comparison below well-defined either way).
+    fin_s = np.isfinite(stock["logits"])
+    fin_p = np.isfinite(patched["logits"])
+    assert np.array_equal(fin_s, fin_p), "finite-logit masks diverged"
+    logits_diff = float(np.abs(
+        stock["logits"][fin_s] - patched["logits"][fin_p]).max())
     boxes_diff = float(np.abs(stock["boxes"] - patched["boxes"]).max())
     same_rank = (
         np.array_equal(stock["top_queries"], patched["top_queries"])
@@ -131,11 +206,14 @@ def run_parity(impl="auto", top_k=10, seed=0):
     )
     scores_diff = float(np.abs(
         stock["top_scores"] - patched["top_scores"]).max())
+    hf_cls = ("GroundingDinoForObjectDetection"
+              if model_name == "grounding-dino"
+              else "DeformableDetrForObjectDetection")
     return {
         "impl": impl,
-        "model": "hf DeformableDetrForObjectDetection "
+        "model": "hf %s "
                  "(random init, seed=%d; pretrained weights not fetchable "
-                 "offline — documented deviation)" % seed,
+                 "offline — documented deviation)" % (hf_cls, seed),
         "max_abs_logits_diff": logits_diff,
         "max_abs_boxes_diff": boxes_diff,
         "topk_detections_identical": bool(same_rank),
@@ -149,10 +227,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "reference", "fused", "pallas"])
+    ap.add_argument("--model", default="deformable-detr",
+                    choices=["deformable-detr", "grounding-dino"])
     ap.add_argument("--out", default="outputs/detection_parity.json")
     args = ap.parse_args()
 
-    res = run_parity(impl=args.impl)
+    res = run_parity(impl=args.impl, model_name=args.model)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)

@@ -143,4 +143,24 @@ def test_full_model_detection_parity():
     res = mod.run_parity(impl="reference")
     assert res["topk_detections_identical"], res
     assert res["max_abs_logits_diff"] < 1e-3, res
+
+
+@pytest.mark.slow
+def test_full_model_detection_parity_grounding_dino():
+    """Same end-to-end parity through HF GroundingDinoForObjectDetection —
+    the exact model family of the reference's own artifact
+    (/root/reference/README.md:25-34, triton_cats.png)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "detection_parity",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "scripts", "detection_parity.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.run_parity(impl="reference", model_name="grounding-dino")
+    assert res["topk_detections_identical"], res
+    assert res["max_abs_logits_diff"] < 1e-3, res
     assert res["max_abs_boxes_diff"] < 1e-4, res

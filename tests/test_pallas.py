@@ -92,6 +92,24 @@ def test_pallas_interpret_mode_cpu():
 
 @requires_tpu
 @pytest.mark.slow
+def test_pallas_block_divisible_queries_tpu():
+    """N = 1024 divides both kernels' query blocks (fwd N_BLOCK=1024, bwd
+    N_BLOCK=256), exercising the mask-free path: the kernels skip
+    ``mask_tail_queries`` entirely when ``N % nblk == 0`` (the ragged-tail
+    masking path is covered by every other test — they all use N that no
+    block size divides)."""
+    img, shapes, pts, wts, og = get_functional_data(N=1024, oob=True)
+
+    def g(i, p, w):
+        return msda(i, shapes, p, w, "border", False, impl="pallas")
+    out, vjp = jax.vjp(g, img, pts, wts)
+    got = (np.asarray(out), *map(np.asarray, vjp(og)))
+    want = _reference_with_grads(img, shapes, pts, wts, og, "border", False)
+    _check(got, want, "divisible N=1024")
+
+
+@requires_tpu
+@pytest.mark.slow
 def test_pallas_x64_flag_tpu():
     """The kernels must trace/compile with jax_enable_x64 set (the round-1
     kernels hit a Mosaic 64-bit convert recursion under this flag)."""
