@@ -88,25 +88,33 @@ def parity_case():
     return shapes, value, locs, wts, want
 
 
+@pytest.mark.slow
 def test_hf_parity_default(parity_case):
     """Default op (pallas on TPU, reference elsewhere) vs the HF module."""
+    import jax
+
     shapes, value, locs, wts, want = parity_case
-    got = np.asarray(
-        multiscale_deformable_attention(
-            value, shapes, locs, wts, "zeros", False
-        )
-    )
+    got = np.asarray(jax.jit(
+        lambda v, l, w: multiscale_deformable_attention(
+            v, shapes, l, w, "zeros", False)
+    )(value, locs, wts))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
 def test_hf_parity_reference_exact(parity_case):
-    """The interpreter path must match HF's grid_sample to f32 roundoff."""
+    """The interpreter path must match HF's grid_sample to f32 roundoff.
+
+    jitted: the interpreter is a long chain of small primitives, and eager
+    dispatch through this machine's remote-device tunnel costs ~30 ms per
+    op — an unjitted run of this body measured 8 minutes under compile-
+    service load."""
+    import jax
+
     shapes, value, locs, wts, want = parity_case
-    got = np.asarray(
-        multiscale_deformable_attention(
-            value, shapes, locs, wts, "zeros", False, impl="reference"
-        )
-    )
+    got = np.asarray(jax.jit(
+        lambda v, l, w: multiscale_deformable_attention(
+            v, shapes, l, w, "zeros", False, impl="reference")
+    )(value, locs, wts))
     np.testing.assert_allclose(got, want, atol=2e-6, rtol=2e-6)
 
 

@@ -42,6 +42,7 @@ def test_fused_forward(padding_mode, align_corners, oob):
     np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("padding_mode,align_corners", GRID)
 def test_fused_backward(padding_mode, align_corners):
     img, shapes, pts, wts, og = get_functional_data(dtype=np.float32, oob=True)

@@ -170,7 +170,8 @@ def test_pallas_highest_precision_tpu():
 
 @requires_tpu
 def test_pallas_nondivisible_queries_tpu():
-    """N not a multiple of the query block exercises the padding path."""
+    """N not a multiple of the query block exercises the in-kernel
+    ragged-tail masking path (mask_tail_queries)."""
     img, shapes, pts, wts, og = get_functional_data(N=130, oob=True)
 
     def f(impl):
@@ -260,6 +261,7 @@ def test_shard_map_pallas_matches_unsharded_tpu():
 
 
 @requires_tpu
+@pytest.mark.slow
 def test_module_mesh_runs_pallas_kernels_tpu():
     """The flax module's mesh path on a TPU mesh resolves to the Pallas
     kernels and routes them through shard_map end-to-end (the flagship

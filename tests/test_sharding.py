@@ -69,6 +69,7 @@ def test_sharded_op_is_actually_sharded(mesh):
     assert shard_shapes == {(1, 32, 2, 32)}
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     """The driver's multi-chip dry run must work on the CPU mesh."""
     import importlib.util
@@ -86,6 +87,7 @@ def test_dryrun_multichip_entrypoint():
     mod.dryrun_multichip(min(8, len(jax.devices("cpu"))))
 
 
+@pytest.mark.slow
 def test_tp_param_sharding_matches_replicated(mesh):
     """Projections sharded over tp: per-device shards shrink and one train
     step matches the fully-replicated run (VERDICT r1 item 9)."""
@@ -166,6 +168,7 @@ def test_tp_param_sharding_matches_replicated(mesh):
         )
 
 
+@pytest.mark.slow
 def test_module_mesh_path_never_hands_pallas_to_gspmd(mesh, monkeypatch):
     """The module's mesh branch must route by the *resolved* impl: the
     GSPMD sharding-constraint wrapper for partitionable XLA impls, the

@@ -48,6 +48,7 @@ def _run(impl, data, padding_mode, align_corners, interpret=None):
     return tuple(np.asarray(t) for t in (out, *grads))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("padding_mode,align_corners",
                          [("border", True), ("zeros", False)])
 def test_stream_interpreter_matches_reference(padding_mode, align_corners):
