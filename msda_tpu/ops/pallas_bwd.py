@@ -57,7 +57,7 @@ from .pallas_fwd import (
     INTERPRET,
     _round_up,
     band_slabs,
-    build_e_operands,
+    build_e_cat,
     level_layout,
     make_sparse_factor,
     mask_tail_queries,
@@ -256,7 +256,7 @@ def _pallas_bwd(
     # [E_h | E_l] — identical to the forward's operand, so a jitted
     # fwd+bwd shares ONE e_cat allocation; the kernel duplicates to
     # [E_h|E_h|E_l|E_l] in VMEM for the K=4C G-dot (_g_dot)
-    e_cat, ecdim = build_e_operands(img, shapes, scheme)
+    e_cat, ecdim = build_e_cat(img, shapes, scheme)
 
     grid = (B * H, _round_up(N, N_BLOCK) // N_BLOCK)
 

@@ -161,7 +161,7 @@ def build_e_matrix(img, shapes, out_dtype=None):
     return e
 
 
-def build_e_operands(img, shapes, scheme):
+def build_e_cat(img, shapes, scheme):
     """The kernel's E operand for ``scheme``: ([B, H, ipad, ndim], ndim)
     where ndim is 2C for x3 (``[E_h | E_l]`` bf16) and C otherwise.
 
@@ -475,7 +475,7 @@ def _pallas_fwd(
         # the interpreter emulates bf16 dots coarsely; use exact f32
         scheme = "highest"
 
-    e_cat, ndim = build_e_operands(img, shapes, scheme)
+    e_cat, ndim = build_e_cat(img, shapes, scheme)
 
     grid = (B * H, n_blocks)
 

@@ -43,6 +43,8 @@ def timeit_op(
     loop-invariant pass-through carry can alias an input copy whose buffer
     becomes ready before the scan finishes (measured on this runtime).
     """
+    if n < 2:
+        raise ValueError("timeit_op needs n >= 2 for the slope measurement")
     n3 = max(1, n // 3)
 
     def make_run(length):
