@@ -135,10 +135,18 @@ def auction_assignment(cost, target_mask=None, eps=1e-3, max_rounds=2000,
     return out
 
 
-def matching_cost(logits, boxes, labels, tboxes, class_weight=1.0, box_weight=5.0):
+def matching_cost(logits, boxes, labels, tboxes, class_weight=1.0,
+                  box_weight=5.0, giou_weight=2.0):
     """DETR-style matching cost matrix [N_queries, M_targets]:
-    -p(class) + L1(box) (arXiv:2010.04159 §4.1, GIoU term omitted)."""
+    ``-p(class) + 5 * L1(box) - 2 * GIoU(box)`` — the full Deformable-DETR
+    matching recipe with its published weights (arXiv:2010.04159 §4.1;
+    GIoU per arXiv:1902.09630)."""
+    from .boxes import generalized_box_iou_pairwise
+
     prob = jax.nn.softmax(logits, axis=-1)  # [N, K]
     cls_cost = -prob[:, labels]  # [N, M]
     l1 = jnp.abs(boxes[:, None, :] - tboxes[None, :, :]).sum(-1)  # [N, M]
-    return class_weight * cls_cost + box_weight * l1
+    cost = class_weight * cls_cost + box_weight * l1
+    if giou_weight:
+        cost = cost - giou_weight * generalized_box_iou_pairwise(boxes, tboxes)
+    return cost

@@ -23,8 +23,11 @@ __all__ = ["detection_loss", "make_train_step", "replicate_params", "shard_param
 
 
 def detection_loss(outputs, targets, matcher: str = "fixed",
-                   aux_weight: float = 1.0, enc_weight: float = 1.0):
-    """Detection loss (classification CE + L1 box, arXiv:2010.04159 §4.1).
+                   aux_weight: float = 1.0, enc_weight: float = 1.0,
+                   giou_weight: float = 2.0):
+    """Detection loss (classification CE + L1 box + GIoU,
+    arXiv:2010.04159 §4.1; GIoU per arXiv:1902.09630 — ``giou_weight=0``
+    disables the term).
 
     targets: dict(labels=[B, M] int (num_classes = background last),
     boxes=[B, M, 4] cxcywh in [0, 1], mask=[B, M] 1.0 for real objects).
@@ -46,10 +49,10 @@ def detection_loss(outputs, targets, matcher: str = "fixed",
     :func:`_enc_proposal_loss`) — without it the proposal heads receive no
     gradient at all, because the decoder consumes detached references.
     """
-    loss = _single_detection_loss(outputs, targets, matcher)
+    loss = _single_detection_loss(outputs, targets, matcher, giou_weight)
     for aux_out in outputs.get("aux", ()):
         loss = loss + aux_weight * _single_detection_loss(
-            aux_out, targets, matcher
+            aux_out, targets, matcher, giou_weight
         )
     if "enc" in outputs:
         loss = loss + enc_weight * _enc_proposal_loss(
@@ -96,7 +99,7 @@ def _enc_proposal_loss(enc, targets):
     return obj_loss + box_loss
 
 
-def _single_detection_loss(outputs, targets, matcher):
+def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0):
     logits = outputs["logits"]
     boxes = outputs["boxes"]
     labels = targets["labels"]
@@ -122,7 +125,13 @@ def _single_detection_loss(outputs, targets, matcher):
 
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     l1 = jnp.abs(boxes - tboxes).sum(-1)
-    loss = ce.mean() + (l1 * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    n_real = jnp.maximum(mask.sum(), 1.0)
+    loss = ce.mean() + (l1 * mask).sum() / n_real
+    if giou_weight:
+        from .boxes import generalized_box_iou
+
+        giou = generalized_box_iou(boxes, tboxes)  # [B, M]
+        loss = loss + giou_weight * ((1.0 - giou) * mask).sum() / n_real
     return loss
 
 
@@ -184,7 +193,7 @@ def shard_params(params, mesh: Mesh):
 
 def make_train_step(model, optimizer, mesh: Mesh | None, img_shapes,
                     matcher: str = "fixed", aux_weight: float = 1.0,
-                    enc_weight: float = 1.0):
+                    enc_weight: float = 1.0, giou_weight: float = 2.0):
     """Build a jitted train step:
     (params, opt_state, pyramid, targets) -> (params, opt_state, loss).
 
@@ -206,7 +215,8 @@ def make_train_step(model, optimizer, mesh: Mesh | None, img_shapes,
             ]
         outputs = model.apply(params, pyramid, img_shapes)
         return detection_loss(outputs, targets, matcher=matcher,
-                              aux_weight=aux_weight, enc_weight=enc_weight)
+                              aux_weight=aux_weight, enc_weight=enc_weight,
+                              giou_weight=giou_weight)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, pyramid, targets):

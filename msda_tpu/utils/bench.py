@@ -45,6 +45,8 @@ def timeit_op(
     """
     if n < 2:
         raise ValueError("timeit_op needs n >= 2 for the slope measurement")
+    if repeats < 1:
+        raise ValueError("timeit_op needs repeats >= 1")
     n3 = max(1, n // 3)
 
     def make_run(length):
