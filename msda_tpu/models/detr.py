@@ -316,7 +316,8 @@ def postprocess(outputs, top_k: int = 100,
       (num_classes = background last), the original DETR recipe: emitted
       labels are always real classes and scores are true class posteriors.
     * ``"sigmoid"`` — per-class sigmoid over *all* classes (no background
-      class), the Deformable-DETR focal-loss decode.
+      class), the Deformable-DETR focal-loss decode — pairs with
+      ``detection_loss(class_loss="focal")``.
 
     Returns dict(scores=[B, K], labels=[B, K], boxes=[B, K, 4] cxcywh).
     """

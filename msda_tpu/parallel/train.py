@@ -24,13 +24,27 @@ __all__ = ["detection_loss", "make_train_step", "replicate_params", "shard_param
 
 def detection_loss(outputs, targets, matcher: str = "fixed",
                    aux_weight: float = 1.0, enc_weight: float = 1.0,
-                   giou_weight: float = 2.0):
-    """Detection loss (classification CE + L1 box + GIoU,
+                   giou_weight: float = 2.0, class_loss: str = "ce",
+                   eos_coef: float = 0.1):
+    """Detection loss (classification + L1 box + GIoU,
     arXiv:2010.04159 §4.1; GIoU per arXiv:1902.09630 — ``giou_weight=0``
     disables the term).
 
-    targets: dict(labels=[B, M] int (num_classes = background last),
-    boxes=[B, M, 4] cxcywh in [0, 1], mask=[B, M] 1.0 for real objects).
+    targets: dict(labels=[B, M] int, boxes=[B, M, 4] cxcywh in [0, 1],
+    mask=[B, M] 1.0 for real objects).
+
+    Every query receives classification supervision: matched queries pay
+    for their target class, all others for "no object" (the original DETR
+    recipe — without it unmatched queries are untrained at inference).
+
+    class_loss:
+        "ce":    softmax cross-entropy with the LAST class as no-object
+                 background, down-weighted by ``eos_coef`` (DETR's
+                 convention; pair with ``postprocess(scoring="softmax")``).
+        "focal": sigmoid focal loss (alpha=0.25, gamma=2) with NO
+                 background class — unmatched queries get all-zero targets
+                 (Deformable-DETR's convention; pair with
+                 ``postprocess(scoring="sigmoid")``).
 
     matcher:
         "fixed":   queries matched to targets by index (teacher-forced).
@@ -49,10 +63,11 @@ def detection_loss(outputs, targets, matcher: str = "fixed",
     :func:`_enc_proposal_loss`) — without it the proposal heads receive no
     gradient at all, because the decoder consumes detached references.
     """
-    loss = _single_detection_loss(outputs, targets, matcher, giou_weight)
+    loss = _single_detection_loss(
+        outputs, targets, matcher, giou_weight, class_loss, eos_coef)
     for aux_out in outputs.get("aux", ()):
         loss = loss + aux_weight * _single_detection_loss(
-            aux_out, targets, matcher, giou_weight
+            aux_out, targets, matcher, giou_weight, class_loss, eos_coef
         )
     if "enc" in outputs:
         loss = loss + enc_weight * _enc_proposal_loss(
@@ -99,12 +114,17 @@ def _enc_proposal_loss(enc, targets):
     return obj_loss + box_loss
 
 
-def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0):
-    logits = outputs["logits"]
-    boxes = outputs["boxes"]
-    labels = targets["labels"]
-    tboxes = targets["boxes"]
-    mask = targets["mask"]
+def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0,
+                           class_loss="ce", eos_coef=0.1,
+                           focal_alpha=0.25, focal_gamma=2.0):
+    logits = outputs["logits"]  # [B, N, K]
+    boxes = outputs["boxes"]    # [B, N, 4]
+    labels = targets["labels"]  # [B, M]
+    tboxes = targets["boxes"]   # [B, M, 4]
+    mask = targets["mask"]      # [B, M]
+    B, N, K = logits.shape
+    M = labels.shape[1]
+    b_idx = jnp.arange(B)[:, None]
 
     if matcher == "auction":
         from .matcher import auction_assignment, matching_cost
@@ -117,20 +137,50 @@ def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0):
             return auction_assignment(cost, mk)
 
         q_idx = jax.vmap(match_one)(logits, boxes, labels, tboxes, mask)
-        b_idx = jnp.arange(logits.shape[0])[:, None]
-        logits = logits[b_idx, q_idx]  # [B, M, K]
-        boxes = boxes[b_idx, q_idx]    # [B, M, 4]
-    elif matcher != "fixed":
+    elif matcher == "fixed":
+        q_idx = jnp.broadcast_to(jnp.arange(M)[None], (B, M))
+    else:
         raise ValueError(f"matcher must be 'fixed' or 'auction', got {matcher!r}")
 
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-    l1 = jnp.abs(boxes - tboxes).sum(-1)
+    sel_logits = logits[b_idx, q_idx]  # [B, M, K]
+    sel_boxes = boxes[b_idx, q_idx]    # [B, M, 4]
+
+    # Per-query class assignment covering EVERY query: matched queries get
+    # their target class, all others the no-object value — DETR's recipe
+    # trains unmatched queries toward "no object" (eos_coef-weighted),
+    # without which they emit untrained garbage at inference.  no_object is
+    # the last class for "ce" (background-last convention) and the
+    # out-of-range index K for "focal" (one_hot -> all-zero row, the
+    # sigmoid/no-background convention).  Masked-out targets scatter into a
+    # dummy column N so they can never overwrite a real match.
+    no_object = K - 1 if class_loss == "ce" else K
+    safe_q = jnp.where(mask > 0, q_idx, N).astype(jnp.int32)
+    full_labels = (
+        jnp.full((B, N + 1), no_object, jnp.int32)
+        .at[b_idx, safe_q].set(labels)[:, :N]
+    )
+
     n_real = jnp.maximum(mask.sum(), 1.0)
-    loss = ce.mean() + (l1 * mask).sum() / n_real
+    if class_loss == "ce":
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, full_labels)  # [B, N]
+        w = jnp.where(full_labels == no_object, eos_coef, 1.0)
+        cls = (ce * w).sum() / w.sum()
+    elif class_loss == "focal":
+        onehot = jax.nn.one_hot(full_labels, K)  # no-object -> zero row
+        focal = optax.sigmoid_focal_loss(
+            logits, onehot, alpha=focal_alpha, gamma=focal_gamma)
+        cls = focal.mean(-1).sum() / n_real
+    else:
+        raise ValueError(
+            f"class_loss must be 'ce' or 'focal', got {class_loss!r}")
+
+    l1 = jnp.abs(sel_boxes - tboxes).sum(-1)
+    loss = cls + (l1 * mask).sum() / n_real
     if giou_weight:
         from .boxes import generalized_box_iou
 
-        giou = generalized_box_iou(boxes, tboxes)  # [B, M]
+        giou = generalized_box_iou(sel_boxes, tboxes)  # [B, M]
         loss = loss + giou_weight * ((1.0 - giou) * mask).sum() / n_real
     return loss
 
@@ -193,7 +243,8 @@ def shard_params(params, mesh: Mesh):
 
 def make_train_step(model, optimizer, mesh: Mesh | None, img_shapes,
                     matcher: str = "fixed", aux_weight: float = 1.0,
-                    enc_weight: float = 1.0, giou_weight: float = 2.0):
+                    enc_weight: float = 1.0, giou_weight: float = 2.0,
+                    class_loss: str = "ce", eos_coef: float = 0.1):
     """Build a jitted train step:
     (params, opt_state, pyramid, targets) -> (params, opt_state, loss).
 
@@ -216,7 +267,8 @@ def make_train_step(model, optimizer, mesh: Mesh | None, img_shapes,
         outputs = model.apply(params, pyramid, img_shapes)
         return detection_loss(outputs, targets, matcher=matcher,
                               aux_weight=aux_weight, enc_weight=enc_weight,
-                              giou_weight=giou_weight)
+                              giou_weight=giou_weight, class_loss=class_loss,
+                              eos_coef=eos_coef)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, pyramid, targets):
