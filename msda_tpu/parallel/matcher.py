@@ -136,15 +136,36 @@ def auction_assignment(cost, target_mask=None, eps=1e-3, max_rounds=2000,
 
 
 def matching_cost(logits, boxes, labels, tboxes, class_weight=1.0,
-                  box_weight=5.0, giou_weight=2.0):
+                  box_weight=5.0, giou_weight=2.0, class_cost="softmax"):
     """DETR-style matching cost matrix [N_queries, M_targets]:
-    ``-p(class) + 5 * L1(box) - 2 * GIoU(box)`` — the full Deformable-DETR
+    ``class + 5 * L1(box) - 2 * GIoU(box)`` — the full Deformable-DETR
     matching recipe with its published weights (arXiv:2010.04159 §4.1;
-    GIoU per arXiv:1902.09630)."""
+    GIoU per arXiv:1902.09630).
+
+    class_cost:
+        "softmax": ``-softmax(logits)[class]`` — DETR's cost, pairs with
+            the CE-with-background training loss.
+        "focal": the alpha-balanced modulated sigmoid cost
+            (pos_cost - neg_cost at the target class, alpha=0.25/gamma=2)
+            of the Deformable-DETR matcher, pairs with
+            ``detection_loss(class_loss="focal")``.
+    """
     from .boxes import generalized_box_iou_pairwise
 
-    prob = jax.nn.softmax(logits, axis=-1)  # [N, K]
-    cls_cost = -prob[:, labels]  # [N, M]
+    if class_cost == "softmax":
+        prob = jax.nn.softmax(logits, axis=-1)  # [N, K]
+        cls_cost = -prob[:, labels]  # [N, M]
+    elif class_cost == "focal":
+        alpha, gamma = 0.25, 2.0
+        prob = jax.nn.sigmoid(logits)
+        neg = (1.0 - alpha) * prob**gamma * (
+            -jnp.log1p(-jnp.clip(prob, 0.0, 1.0 - 1e-8)))
+        pos = alpha * (1.0 - prob) ** gamma * (
+            -jnp.log(jnp.clip(prob, 1e-8, 1.0)))
+        cls_cost = pos[:, labels] - neg[:, labels]  # [N, M]
+    else:
+        raise ValueError(
+            f"class_cost must be 'softmax' or 'focal', got {class_cost!r}")
     l1 = jnp.abs(boxes[:, None, :] - tboxes[None, :, :]).sum(-1)  # [N, M]
     cost = class_weight * cls_cost + box_weight * l1
     if giou_weight:

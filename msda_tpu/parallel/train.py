@@ -129,8 +129,11 @@ def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0,
     if matcher == "auction":
         from .matcher import auction_assignment, matching_cost
 
+        # the matcher's class cost follows the training objective
+        cost_kind = "focal" if class_loss == "focal" else "softmax"
+
         def match_one(lg, bx, lb, tb, mk):
-            cost = matching_cost(lg, bx, lb, tb)
+            cost = matching_cost(lg, bx, lb, tb, class_cost=cost_kind)
             # masked-out targets must not steal queries: make them cheap
             # everywhere equally (constant column -> arbitrary but harmless)
             cost = jnp.where(mk[None, :] > 0, cost, 0.0)

@@ -108,3 +108,30 @@ def test_detection_loss_auction_matches_permuted_targets():
     # auction finds the permutation: box L1 ~ 0, CE ~ 0
     assert loss_auction < 0.1, loss_auction
     assert loss_fixed > loss_auction + 0.5
+
+
+def test_matching_cost_focal_class_cost():
+    """class_cost='focal' ranks a confident-correct query best and a
+    confident-wrong query worst, like the softmax cost; invalid kinds
+    raise."""
+    K = 4
+    target = jnp.asarray([[0.5, 0.5, 0.2, 0.2]])
+    labels = jnp.asarray([1])
+    boxes = jnp.tile(target, (3, 1))
+    logits = jnp.asarray([
+        [-8.0, 8.0, -8.0, -8.0],   # confident correct
+        [-8.0, -8.0, -8.0, -8.0],  # silent
+        [8.0, -8.0, -8.0, -8.0],   # confident wrong
+    ])
+    cost = np.asarray(matching_cost(
+        logits, boxes, labels, target, class_cost="softmax"))[:, 0]
+    assert cost[0] < cost[1] < cost[2], cost
+    # the focal cost reads only the target class's logit (as in the
+    # Deformable-DETR matcher), so rows 1 and 2 tie
+    cost = np.asarray(matching_cost(
+        logits, boxes, labels, target, class_cost="focal"))[:, 0]
+    assert cost[0] < cost[1] and np.isclose(cost[1], cost[2]), cost
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="class_cost"):
+        matching_cost(logits, boxes, labels, target, class_cost="hinge")
