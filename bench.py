@@ -11,7 +11,30 @@ speedup factor baseline_ms / our_ms (>1 means faster than baseline).
 """
 
 import json
+import os
 import sys
+import threading
+
+# Watchdog BEFORE touching jax: a dead TPU tunnel makes backend attach
+# block indefinitely (observed on this machine: >25 min hangs, then
+# UNAVAILABLE); fail loudly instead of hanging the driver.  Generous
+# bound: attach + ~6 kernel compiles through the remote compile helper
+# normally finish well inside 15 min.
+_WATCHDOG_SECS = int(os.environ.get("MSDA_BENCH_WATCHDOG_SECS", "900"))
+
+
+def _watchdog():
+    sys.stderr.write(
+        f"bench.py: no result within {_WATCHDOG_SECS}s "
+        "(TPU backend attach/compile stuck?) — aborting\n"
+    )
+    sys.stderr.flush()
+    os._exit(3)
+
+
+_timer = threading.Timer(_WATCHDOG_SECS, _watchdog)
+_timer.daemon = True  # never outlive a successful run
+_timer.start()
 
 import jax
 import jax.numpy as jnp

@@ -172,6 +172,12 @@ class DeformableDetr(nn.Module):
     ffn_dim: int = 1024
     with_box_refinement: bool = False
     two_stage: bool = False
+    # rematerialize encoder/decoder layers in the backward pass
+    # (jax.checkpoint via nn.remat): activations of each layer are
+    # recomputed instead of saved — the standard TPU HBM-for-FLOPs trade
+    # for deep stacks.  The MSDA op's backward already rematerializes its
+    # interpolation internally either way (ops/msda.py).
+    remat: bool = False
     impl: str = "auto"
     mesh: object = None
 
@@ -198,9 +204,23 @@ class DeformableDetr(nn.Module):
             feats.append(x)
         feats = jnp.concatenate(feats, axis=1)  # [B, I, D]
 
+        # img_shapes is closed over by the remat bodies (not passed through
+        # them): jax.checkpoint treats remat-function arguments as
+        # differentiable inputs, and the Pallas path additionally requires
+        # the pyramid geometry to stay concrete.
+        def enc_body(mdl, f, r):
+            return mdl(f, img_shapes, r)
+
+        def dec_body(mdl, q, f, r):
+            return mdl(q, f, img_shapes, r)
+
+        if self.remat:
+            enc_body = nn.remat(enc_body)
+            dec_body = nn.remat(dec_body)
+
         enc_refs = make_encoder_reference_points(img_shapes)
         for i in range(self.num_encoder_layers):
-            feats = DeformableEncoderLayer(
+            feats = enc_body(DeformableEncoderLayer(
                 emb_dim=self.emb_dim,
                 num_levels=L,
                 num_heads=self.num_heads,
@@ -209,7 +229,7 @@ class DeformableDetr(nn.Module):
                 impl=self.impl,
                 mesh=self.mesh,
                 name=f"encoder_layer_{i}",
-            )(feats, img_shapes, enc_refs)
+            ), feats, enc_refs)
 
         query_emb = self.param(
             "query_embedding",
@@ -265,7 +285,7 @@ class DeformableDetr(nn.Module):
 
         aux = []
         for i in range(self.num_decoder_layers):
-            queries = DeformableDecoderLayer(
+            queries = dec_body(DeformableDecoderLayer(
                 emb_dim=self.emb_dim,
                 num_levels=L,
                 num_heads=self.num_heads,
@@ -274,7 +294,7 @@ class DeformableDetr(nn.Module):
                 impl=self.impl,
                 mesh=self.mesh,
                 name=f"decoder_layer_{i}",
-            )(queries, feats, img_shapes, refs)
+            ), queries, feats, refs)
             if self.with_box_refinement and i < self.num_decoder_layers - 1:
                 # per-layer head refines the boxes the next layer samples
                 # around; refs are detached between layers as in the paper

@@ -2,5 +2,20 @@
 
 from .bench import timeit_op, device_memory_stats
 from .profile import trace, annotate
+from .export import (
+    export_fn,
+    load_exported,
+    load_exported_file,
+    save_exported,
+)
 
-__all__ = ["timeit_op", "device_memory_stats", "trace", "annotate"]
+__all__ = [
+    "timeit_op",
+    "device_memory_stats",
+    "trace",
+    "annotate",
+    "export_fn",
+    "load_exported",
+    "load_exported_file",
+    "save_exported",
+]

@@ -257,3 +257,46 @@ def test_detr_two_stage():
     assert float(np.abs(np.asarray(g_obj)).max()) > 0
     assert l_no_enc == pytest.approx(l_dec_only, rel=1e-6)
     assert l_full > l_no_enc  # enc term is active and positive
+
+
+def test_detr_remat_matches_no_remat():
+    """remat=True (jax.checkpoint over encoder/decoder layers) must be a
+    pure memory/FLOPs trade: same forward outputs and same gradients as
+    the un-rematerialized model for identical parameters."""
+    rng = np.random.default_rng(7)
+
+    def build(remat):
+        return DeformableDetr(
+            num_classes=5, emb_dim=32, num_heads=4, num_points=2,
+            num_queries=8, num_encoder_layers=2, num_decoder_layers=2,
+            ffn_dim=64, with_box_refinement=True, impl="reference",
+            remat=remat,
+        )
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pyr = _pyramid(2, rng)
+        params = build(False).init(jax.random.PRNGKey(0), pyr, SHAPES)
+
+        targets = {
+            "labels": jnp.asarray(rng.integers(0, 4, (2, 8)), jnp.int32),
+            "boxes": jnp.asarray(rng.random((2, 8, 4)), jnp.float32),
+            "mask": jnp.ones((2, 8), jnp.float32),
+        }
+
+        def loss(p, remat):
+            out = build(remat).apply(p, pyr, SHAPES)
+            return detection_loss(out, targets)
+
+        l0, g0 = jax.jit(
+            jax.value_and_grad(lambda p: loss(p, False)))(params)
+        l1, g1 = jax.jit(
+            jax.value_and_grad(lambda p: loss(p, True)))(params)
+
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree.leaves(g0)
+    flat1 = jax.tree.leaves(g1)
+    assert len(flat0) == len(flat1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
