@@ -124,6 +124,11 @@ def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0,
     mask = targets["mask"]      # [B, M]
     B, N, K = logits.shape
     M = labels.shape[1]
+    if M > N:
+        raise ValueError(
+            f"more targets ({M}) than queries ({N}): every real target "
+            "needs a distinct query"
+        )
     b_idx = jnp.arange(B)[:, None]
 
     if matcher == "auction":

@@ -73,6 +73,10 @@ def main():
                     help="e.g. dp=2,sp=2,tp=2 (CPU devices if needed)")
     ap.add_argument("--ckpt-dir", default="/tmp/msda_demo_ckpt")
     ap.add_argument("--ckpt-every", type=int, default=10)
+    ap.add_argument("--class-loss", choices=["ce", "focal"], default="ce",
+                    help="classification objective: softmax CE with "
+                         "background (pairs with softmax decode) or "
+                         "sigmoid focal (pairs with sigmoid decode)")
     args = ap.parse_args()
 
     from msda_tpu.models.detr import DeformableDetr
@@ -137,7 +141,8 @@ def main():
             params = replicate_params(params, mesh)
             opt_state = replicate_params(opt_state, mesh)
         train_step = make_train_step(model, tx, mesh, SHAPES,
-                                     matcher="auction")
+                                     matcher="auction",
+                                     class_loss=args.class_loss)
         t0 = time.perf_counter()
         for step in range(start, start + args.steps):
             params, opt_state, loss = train_step(
