@@ -10,7 +10,9 @@ utils/export.py platform note).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
+from conftest import requires_tpu
 from msda_tpu.utils import export_fn, load_exported, save_exported, \
     load_exported_file
 
@@ -71,3 +73,48 @@ def test_export_detector_with_postprocess(cpu_device, tmp_path):
     for k in ("scores", "labels", "boxes"):
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(want[k]), rtol=1e-6, atol=1e-6)
+
+
+@requires_tpu
+@pytest.mark.slow
+def test_export_pallas_op_round_trip_tpu():
+    """The Pallas path exports for TPU serving: the Mosaic kernel rides
+    along as a custom call in the serialized artifact and the reloaded
+    function matches the live op on-device."""
+    from msda_tpu.ops import multiscale_deformable_attention as msda
+
+    rng = np.random.default_rng(2)
+    shapes = np.array([(16, 16), (8, 8)], np.int32)
+    I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
+    img = jnp.asarray(rng.standard_normal((2, I, 2, 32)), jnp.float32)
+    pts = jnp.asarray(rng.random((2, 64, 2, 2, 3, 2)), jnp.float32)
+    wts = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((2, 64, 2, 2, 3)), jnp.float32), -1)
+
+    def fn(img, pts, wts):
+        return msda(img, shapes, pts, wts, "border", False, impl="pallas")
+
+    try:
+        blob = export_fn(fn, img, pts, wts, platforms=("tpu",))
+    except ValueError as e:
+        if "custom_call" not in str(e):
+            raise
+        # Mosaic's custom call is outside jax.export's forward-compat
+        # allowlist on this jax version: exporting for the *current*
+        # process is still sound (same runtime deserializes), so disable
+        # that one check explicitly.
+        from jax.export import DisabledSafetyCheck
+
+        specs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (img, pts, wts))
+        blob = jax.export.export(
+            jax.jit(fn), platforms=("tpu",),
+            disabled_checks=[DisabledSafetyCheck.custom_call(
+                "tpu_custom_call")],
+        )(*specs).serialize()
+
+    got = load_exported(blob)(img, pts, wts)
+    want = jax.jit(fn)(img, pts, wts)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
