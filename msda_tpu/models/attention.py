@@ -57,6 +57,11 @@ class MultiscaleDeformableAttention(nn.Module):
     offset_normalizer: Literal["reference", "detr"] = "reference"
     impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
+    # activation/compute dtype: bf16 runs the projections on the MXU's
+    # native half precision AND routes the op through its single-pass
+    # bf16 kernel scheme (pallas_fwd.resolve_scheme); params stay
+    # param_dtype (f32 master weights — the standard TPU mixed policy)
+    compute_dtype: jnp.dtype | None = None
     # Optional jax.sharding.Mesh with ("dp", "sp", "tp") axes: when set, the
     # op operands/outputs carry the canonical MSDA shardings (batch=dp,
     # queries=sp, heads=tp) so GSPMD partitions multi-chip execution.
@@ -70,13 +75,16 @@ class MultiscaleDeformableAttention(nn.Module):
             )
         H, L, P = self.num_heads, self.num_levels, self.num_points
         self.img_input_proj = nn.Dense(
-            self.hidden_dim, param_dtype=self.param_dtype, name="img_input_proj"
+            self.hidden_dim, param_dtype=self.param_dtype,
+            dtype=self.compute_dtype, name="img_input_proj"
         )
         self.query_input_proj = nn.Dense(
-            H * L * P * 3, param_dtype=self.param_dtype, name="query_input_proj"
+            H * L * P * 3, param_dtype=self.param_dtype,
+            dtype=self.compute_dtype, name="query_input_proj"
         )
         self.query_output_proj = nn.Dense(
-            self.emb_dim, param_dtype=self.param_dtype, name="query_output_proj"
+            self.emb_dim, param_dtype=self.param_dtype,
+            dtype=self.compute_dtype, name="query_output_proj"
         )
 
     def __call__(self, img, img_shapes, queries, reference_points):
@@ -95,8 +103,15 @@ class MultiscaleDeformableAttention(nn.Module):
         H, L, P = self.num_heads, self.num_levels, self.num_points
         C = self.hidden_dim
 
-        # offsets + attention logits from queries (frontend.py:253-261)
-        q = self.query_input_proj(queries).reshape(B, N, H, L, P, 3)
+        # offsets + attention logits from queries (frontend.py:253-261).
+        # The point/weight math always runs in f32 even under a bf16
+        # compute_dtype: bf16's 8 mantissa bits would quantize absolute
+        # sampling positions to ~1/256 of a level — the same reason the
+        # reference op casts its inputs up under AMP (frontend.py:111).
+        # The pyramid stays compute_dtype: img dtype alone selects the
+        # kernel's contraction scheme (bf16 = the fast single-pass path).
+        q = self.query_input_proj(queries).astype(jnp.float32)
+        q = q.reshape(B, N, H, L, P, 3)
         offsets, logits = q[..., :2], q[..., 2]
         attention_weights = nn.softmax(
             logits.reshape(B, N, H, L * P), axis=-1

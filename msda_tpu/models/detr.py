@@ -70,13 +70,14 @@ def make_encoder_reference_points(img_shapes) -> jnp.ndarray:
 class _FFN(nn.Module):
     dim: int
     hidden: int
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Dense(self.hidden)(x)
+        y = nn.Dense(self.hidden, dtype=self.compute_dtype)(x)
         y = nn.relu(y)
-        y = nn.Dense(self.dim)(y)
-        return nn.LayerNorm()(x + y)
+        y = nn.Dense(self.dim, dtype=self.compute_dtype)(y)
+        return nn.LayerNorm(dtype=self.compute_dtype)(x + y)
 
 
 class DeformableEncoderLayer(nn.Module):
@@ -87,6 +88,7 @@ class DeformableEncoderLayer(nn.Module):
     num_heads: int
     num_points: int
     ffn_dim: int = 1024
+    compute_dtype: jnp.dtype | None = None
     impl: str = "auto"
     mesh: object = None
 
@@ -102,13 +104,14 @@ class DeformableEncoderLayer(nn.Module):
             num_points=self.num_points,
             padding_mode="border",
             align_corners=False,
+            compute_dtype=self.compute_dtype,
             impl=self.impl,
             mesh=self.mesh,
         )
         refs = jnp.broadcast_to(reference_points[None], (B, I, 2))
         y = attn(feats, img_shapes, feats, refs)
-        x = nn.LayerNorm()(feats + y)
-        return _FFN(self.emb_dim, self.ffn_dim)(x)
+        x = nn.LayerNorm(dtype=self.compute_dtype)(feats + y)
+        return _FFN(self.emb_dim, self.ffn_dim, self.compute_dtype)(x)
 
 
 class DeformableDecoderLayer(nn.Module):
@@ -119,6 +122,7 @@ class DeformableDecoderLayer(nn.Module):
     num_heads: int
     num_points: int
     ffn_dim: int = 1024
+    compute_dtype: jnp.dtype | None = None
     impl: str = "auto"
     mesh: object = None
 
@@ -126,9 +130,10 @@ class DeformableDecoderLayer(nn.Module):
     def __call__(self, queries, feats, img_shapes, reference_points):
         """queries [B, N, D]; feats [B, I, D]; reference_points [B, N, 2|4]."""
         sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.emb_dim
+            num_heads=self.num_heads, qkv_features=self.emb_dim,
+            dtype=self.compute_dtype,
         )
-        x = nn.LayerNorm()(queries + sa(queries))
+        x = nn.LayerNorm(dtype=self.compute_dtype)(queries + sa(queries))
         ca = MultiscaleDeformableAttention(
             emb_dim=self.emb_dim,
             hidden_dim=self.emb_dim,
@@ -137,12 +142,13 @@ class DeformableDecoderLayer(nn.Module):
             num_points=self.num_points,
             padding_mode="border",
             align_corners=False,
+            compute_dtype=self.compute_dtype,
             impl=self.impl,
             mesh=self.mesh,
         )
         y = ca(feats, img_shapes, x, reference_points)
-        x = nn.LayerNorm()(x + y)
-        return _FFN(self.emb_dim, self.ffn_dim)(x)
+        x = nn.LayerNorm(dtype=self.compute_dtype)(x + y)
+        return _FFN(self.emb_dim, self.ffn_dim, self.compute_dtype)(x)
 
 
 class DeformableDetr(nn.Module):
@@ -178,6 +184,12 @@ class DeformableDetr(nn.Module):
     # for deep stacks.  The MSDA op's backward already rematerializes its
     # interpolation internally either way (ops/msda.py).
     remat: bool = False
+    # activation/compute dtype for the transformer stack (bf16 = the TPU
+    # mixed-precision policy: f32 master params, bf16 matmuls, and the
+    # MSDA op's fast single-pass bf16 kernel scheme).  Sampling-point
+    # geometry, reference-box math and the prediction heads stay f32
+    # (see models/attention.py and the head comments below).
+    compute_dtype: jnp.dtype | None = None
     impl: str = "auto"
     mesh: object = None
 
@@ -192,15 +204,20 @@ class DeformableDetr(nn.Module):
         B = pyramid[0].shape[0]
 
         # per-level input projection to emb_dim + level embedding, flatten
+        # explicit f32 param dtype: initializer defaults follow the global
+        # x64 flag, which would silently make these three raw params f64
+        # while every Dense stays f32
         level_emb = self.param(
             "level_embedding",
             nn.initializers.normal(0.02),
             (L, self.emb_dim),
+            jnp.float32,
         )
         feats = []
         for lvl, f in enumerate(pyramid):
-            x = nn.Dense(self.emb_dim, name=f"input_proj_{lvl}")(f)
-            x = x.reshape(B, -1, self.emb_dim) + level_emb[lvl]
+            x = nn.Dense(self.emb_dim, dtype=self.compute_dtype,
+                         name=f"input_proj_{lvl}")(f)
+            x = x.reshape(B, -1, self.emb_dim) + level_emb[lvl].astype(x.dtype)
             feats.append(x)
         feats = jnp.concatenate(feats, axis=1)  # [B, I, D]
 
@@ -226,6 +243,7 @@ class DeformableDetr(nn.Module):
                 num_heads=self.num_heads,
                 num_points=self.num_points,
                 ffn_dim=self.ffn_dim,
+                compute_dtype=self.compute_dtype,
                 impl=self.impl,
                 mesh=self.mesh,
                 name=f"encoder_layer_{i}",
@@ -235,10 +253,13 @@ class DeformableDetr(nn.Module):
             "query_embedding",
             nn.initializers.normal(0.02),
             (self.num_queries, self.emb_dim),
+            jnp.float32,
         )
         queries = jnp.broadcast_to(
             query_emb[None], (B, self.num_queries, self.emb_dim)
         )
+        if self.compute_dtype is not None:
+            queries = queries.astype(self.compute_dtype)
         eps = 1e-5
 
         def inv_sigmoid(p):
@@ -268,7 +289,8 @@ class DeformableDetr(nn.Module):
                 "anchors": anchors[0],  # [I, 4], constant (no grad)
             }
             # positional content from the selected proposals
-            pos = nn.Dense(self.emb_dim, name="proposal_pos_proj")(
+            pos = nn.Dense(self.emb_dim, dtype=self.compute_dtype,
+                           name="proposal_pos_proj")(
                 jax.lax.stop_gradient(refs)
             )
             queries = queries + pos
@@ -279,6 +301,7 @@ class DeformableDetr(nn.Module):
                 "reference_box_logits",
                 nn.initializers.normal(0.5),
                 (self.num_queries, 4),
+                jnp.float32,
             )
             refs = jax.nn.sigmoid(ref_logit)[None]
             refs = jnp.broadcast_to(refs, (B, self.num_queries, 4))
@@ -291,6 +314,7 @@ class DeformableDetr(nn.Module):
                 num_heads=self.num_heads,
                 num_points=self.num_points,
                 ffn_dim=self.ffn_dim,
+                compute_dtype=self.compute_dtype,
                 impl=self.impl,
                 mesh=self.mesh,
                 name=f"decoder_layer_{i}",

@@ -300,3 +300,53 @@ def test_detr_remat_matches_no_remat():
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_detr_bf16_compute_policy():
+    """compute_dtype=bf16: f32 master params, bf16 activations through the
+    stack, f32 heads/boxes — outputs stay close to the f32 model and the
+    loss is differentiable with finite grads."""
+    rng = np.random.default_rng(9)
+
+    def build(cd):
+        return DeformableDetr(
+            num_classes=5, emb_dim=32, num_heads=4, num_points=2,
+            num_queries=8, num_encoder_layers=1, num_decoder_layers=1,
+            ffn_dim=64, impl="reference", compute_dtype=cd,
+        )
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pyr = _pyramid(2, rng)
+        params = build(None).init(jax.random.PRNGKey(0), pyr, SHAPES)
+        # master params are f32 regardless of compute dtype
+        assert all(
+            leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(params))
+
+        out32 = jax.jit(lambda p: build(None).apply(p, pyr, SHAPES))(params)
+        out16 = jax.jit(
+            lambda p: build(jnp.bfloat16).apply(p, pyr, SHAPES))(params)
+
+        # heads emit f32 under the mixed policy
+        assert out16["logits"].dtype == jnp.float32
+        assert out16["boxes"].dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(out16["boxes"]), np.asarray(out32["boxes"]),
+            atol=0.05)
+        np.testing.assert_allclose(
+            np.asarray(out16["logits"]), np.asarray(out32["logits"]),
+            atol=0.25)
+
+        targets = {
+            "labels": jnp.asarray(rng.integers(0, 4, (2, 8)), jnp.int32),
+            "boxes": jnp.asarray(rng.random((2, 8, 4)), jnp.float32),
+            "mask": jnp.ones((2, 8), jnp.float32),
+        }
+        loss, grads = jax.jit(jax.value_and_grad(
+            lambda p: detection_loss(
+                build(jnp.bfloat16).apply(p, pyr, SHAPES), targets)
+        ))(params)
+        assert np.isfinite(float(loss))
+        for g in jax.tree.leaves(grads):
+            assert np.isfinite(np.asarray(g)).all()
+            assert g.dtype == jnp.float32
