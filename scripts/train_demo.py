@@ -77,6 +77,9 @@ def main():
                     help="classification objective: softmax CE with "
                          "background (pairs with softmax decode) or "
                          "sigmoid focal (pairs with sigmoid decode)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 mixed precision: f32 master params, bf16 "
+                         "stack + the op's single-pass bf16 kernel scheme")
     args = ap.parse_args()
 
     from msda_tpu.models.detr import DeformableDetr
@@ -117,6 +120,7 @@ def main():
         num_classes=NUM_CLASSES, emb_dim=64, num_heads=4, num_points=2,
         num_queries=NUM_QUERIES, num_encoder_layers=1, num_decoder_layers=2,
         ffn_dim=128, with_box_refinement=True,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         impl="reference" if mesh is not None else "auto", mesh=mesh,
     )
     pyramid, targets = synthetic_batch(rng, args.batch)
