@@ -23,7 +23,11 @@ from typing import Mapping
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["attention_params_from_torch", "attention_params_to_torch"]
+__all__ = [
+    "attention_params_from_torch",
+    "attention_params_to_torch",
+    "attention_params_from_hf",
+]
 
 _PROJS = ("img_input_proj", "query_input_proj", "query_output_proj")
 
@@ -65,6 +69,76 @@ def attention_params_from_torch(
             "bias": jnp.asarray(b, dtype),
         }
     return {"params": params}
+
+
+def attention_params_from_hf(
+    state_dict: Mapping[str, object],
+    num_heads: int,
+    num_levels: int,
+    num_points: int,
+    prefix: str = "",
+    dtype=jnp.float32,
+):
+    """HuggingFace ``DeformableDetrMultiscaleDeformableAttention`` weights
+    -> flax params — the migration path for *pretrained* HF detectors
+    (Deformable DETR / Grounding DINO share this module).
+
+    HF parameterizes the query projection as two separate Linears
+    (``sampling_offsets`` -> [H*L*P*2], ``attention_weights`` ->
+    [H*L*P]); this package fuses them into one ``query_input_proj`` ->
+    [H*L*P*3] whose reshape slots are (x-offset, y-offset, weight logit)
+    per (head, level, point) — so the HF rows are interleaved into the
+    fused layout here.  ``value_proj`` maps to ``img_input_proj`` and
+    ``output_proj`` to ``query_output_proj``.
+
+    Use the resulting params with a module configured to HF semantics:
+    ``offset_normalizer="detr"`` (original (w, h) order),
+    ``padding_mode="zeros"``, ``align_corners=False``.
+
+    ``prefix`` selects the attention submodule inside a full model
+    state_dict (e.g. ``"model.decoder.layers.0.encoder_attn."``).
+    """
+    H, L, P = int(num_heads), int(num_levels), int(num_points)
+
+    def np_pair(name):
+        wk, bk = f"{prefix}{name}.weight", f"{prefix}{name}.bias"
+        missing = [k for k in (wk, bk) if k not in state_dict]
+        if missing:
+            raise KeyError(
+                f"state_dict is missing {missing}; keys with this prefix: "
+                f"{[k for k in state_dict if k.startswith(prefix)][:8]}"
+            )
+        return _to_np(state_dict[wk]), _to_np(state_dict[bk])
+
+    off_w, off_b = np_pair("sampling_offsets")    # [H*L*P*2, emb]
+    attn_w, attn_b = np_pair("attention_weights")  # [H*L*P, emb]
+    val_w, val_b = np_pair("value_proj")
+    out_w, out_b = np_pair("output_proj")
+    emb = off_w.shape[1]
+    if off_w.shape[0] != H * L * P * 2 or attn_w.shape[0] != H * L * P:
+        raise ValueError(
+            f"weight rows {off_w.shape[0]}/{attn_w.shape[0]} do not match "
+            f"num_heads*num_levels*num_points = {H}*{L}*{P}"
+        )
+
+    # interleave HF's (offsets, logit) rows into the fused 3-slot layout:
+    # fused row ((h*L+l)*P+p)*3 + {0,1} = offsets, + 2 = weight logit
+    wq = np.concatenate(
+        [off_w.reshape(H * L * P, 2, emb), attn_w.reshape(H * L * P, 1, emb)],
+        axis=1,
+    ).reshape(H * L * P * 3, emb)
+    bq = np.concatenate(
+        [off_b.reshape(H * L * P, 2), attn_b.reshape(H * L * P, 1)], axis=1
+    ).reshape(H * L * P * 3)
+
+    def dense(w, b):
+        return {"kernel": jnp.asarray(w.T, dtype), "bias": jnp.asarray(b, dtype)}
+
+    return {"params": {
+        "img_input_proj": dense(val_w, val_b),
+        "query_input_proj": dense(wq, bq),
+        "query_output_proj": dense(out_w, out_b),
+    }}
 
 
 def attention_params_to_torch(params) -> dict:

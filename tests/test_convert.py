@@ -95,3 +95,71 @@ def test_missing_key_error():
     del sd["query_output_proj.bias"]
     with pytest.raises(KeyError, match="query_output_proj"):
         attention_params_from_torch(sd)
+
+
+@pytest.mark.slow
+def test_hf_module_parity_with_converted_weights():
+    """The flax module loaded with a (random-init) HF
+    DeformableDetrMultiscaleDeformableAttention state_dict reproduces the
+    HF module's forward output — i.e. pretrained HF detectors migrate."""
+    from transformers.models.deformable_detr.configuration_deformable_detr import (
+        DeformableDetrConfig,
+    )
+    from transformers.models.deformable_detr.modeling_deformable_detr import (
+        DeformableDetrMultiscaleDeformableAttention,
+    )
+
+    from msda_tpu.models import attention_params_from_hf
+
+    D, Hh, Ll, Pp = 32, 4, 2, 2
+    cfg = DeformableDetrConfig(
+        d_model=D, num_feature_levels=Ll, use_timm_backbone=False,
+        use_pretrained_backbone=False, backbone=None,
+        backbone_config=None,
+    )
+    torch.manual_seed(0)
+    hf = DeformableDetrMultiscaleDeformableAttention(
+        cfg, num_heads=Hh, n_points=Pp)
+    hf.eval()
+    # random weights everywhere (HF zero-inits the offset head; random
+    # makes the parity check non-trivial)
+    with torch.no_grad():
+        for p in hf.parameters():
+            p.copy_(torch.randn_like(p) * 0.1)
+    hf.disable_custom_kernels = True
+
+    rng = np.random.default_rng(3)
+    shapes = np.array([(6, 5), (3, 3)], np.int32)
+    I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
+    B, N = 2, 7
+    img = rng.standard_normal((B, I, D)).astype(np.float32)
+    queries = rng.standard_normal((B, N, D)).astype(np.float32)
+    refs = rng.random((B, N, 2)).astype(np.float32)
+
+    sizes = [int(h) * int(w) for h, w in shapes]
+    level_start = torch.tensor(
+        np.concatenate([[0], np.cumsum(sizes)[:-1]]), dtype=torch.int64)
+    with torch.no_grad():
+        want, _ = hf(
+            hidden_states=torch.from_numpy(queries),
+            encoder_hidden_states=torch.from_numpy(img),
+            reference_points=torch.from_numpy(
+                np.broadcast_to(refs[:, :, None, :], (B, N, Ll, 2)).copy()),
+            spatial_shapes=torch.from_numpy(np.asarray(shapes, np.int64)),
+            spatial_shapes_list=[(int(h), int(w)) for h, w in shapes],
+            level_start_index=level_start,
+        )
+    want = want.numpy()
+
+    model = MultiscaleDeformableAttention(
+        emb_dim=D, hidden_dim=D, num_levels=Ll, num_heads=Hh,
+        num_points=Pp, padding_mode="zeros", align_corners=False,
+        offset_normalizer="detr", impl="reference",
+    )
+    params = attention_params_from_hf(
+        hf.state_dict(), num_heads=Hh, num_levels=Ll, num_points=Pp)
+    got = np.asarray(jax.jit(
+        lambda p, i, q, r: model.apply(p, i, jnp.asarray(shapes), q, r)
+    )(params, jnp.asarray(img), jnp.asarray(queries), jnp.asarray(refs)))
+
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
