@@ -84,7 +84,7 @@ def _enc_proposal_loss(enc, targets):
     nearest its box center (static-shape center assignment instead of the
     paper's Hungarian pass over all ~I proposals — the anchors ride along
     in ``enc["anchors"]``).  Assigned proposals pay binary objectness +
-    L1 box losses; every other pixel pays background objectness, with the
+    L1 + GIoU box losses; every other pixel pays background objectness, with the
     positive/negative halves normalized separately so ~I background pixels
     cannot drown out the handful of positives.
     """
@@ -110,8 +110,12 @@ def _enc_proposal_loss(enc, targets):
 
     sel = jnp.take_along_axis(pboxes, idx[..., None], axis=1)  # [B, M, 4]
     l1 = jnp.abs(sel - tboxes).sum(-1)
-    box_loss = (l1 * mask).sum() / jnp.maximum(mask.sum(), 1.0)
-    return obj_loss + box_loss
+    n_real = jnp.maximum(mask.sum(), 1.0)
+    box_loss = (l1 * mask).sum() / n_real
+    from .boxes import generalized_box_iou
+
+    giou_loss = ((1.0 - generalized_box_iou(sel, tboxes)) * mask).sum() / n_real
+    return obj_loss + box_loss + giou_loss
 
 
 def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0,
