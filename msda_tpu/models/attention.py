@@ -104,13 +104,16 @@ class MultiscaleDeformableAttention(nn.Module):
         C = self.hidden_dim
 
         # offsets + attention logits from queries (frontend.py:253-261).
-        # The point/weight math always runs in f32 even under a bf16
+        # The point/weight math runs in at least f32 even under a bf16
         # compute_dtype: bf16's 8 mantissa bits would quantize absolute
         # sampling positions to ~1/256 of a level — the same reason the
         # reference op casts its inputs up under AMP (frontend.py:111).
-        # The pyramid stays compute_dtype: img dtype alone selects the
-        # kernel's contraction scheme (bf16 = the fast single-pass path).
-        q = self.query_input_proj(queries).astype(jnp.float32)
+        # promote (not a hard f32 cast) so the f64 interpreter path keeps
+        # full precision.  The pyramid stays compute_dtype: img dtype
+        # alone selects the kernel's contraction scheme (bf16 = the fast
+        # single-pass path).
+        q = self.query_input_proj(queries)
+        q = q.astype(jnp.promote_types(q.dtype, jnp.float32))
         q = q.reshape(B, N, H, L, P, 3)
         offsets, logits = q[..., :2], q[..., 2]
         attention_weights = nn.softmax(

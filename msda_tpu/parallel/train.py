@@ -25,10 +25,12 @@ __all__ = ["detection_loss", "make_train_step", "replicate_params", "shard_param
 def detection_loss(outputs, targets, matcher: str = "fixed",
                    aux_weight: float = 1.0, enc_weight: float = 1.0,
                    giou_weight: float = 2.0, class_loss: str = "ce",
-                   eos_coef: float = 0.1):
-    """Detection loss (classification + L1 box + GIoU,
-    arXiv:2010.04159 §4.1; GIoU per arXiv:1902.09630 — ``giou_weight=0``
-    disables the term).
+                   eos_coef: float = 0.1, l1_weight: float = 5.0):
+    """Detection loss (classification + 5 * L1 box + 2 * GIoU — the
+    published Deformable-DETR weights, identical to the matching cost's,
+    arXiv:2010.04159 §4.1; GIoU per arXiv:1902.09630.  ``giou_weight=0``
+    disables the GIoU term everywhere, including the encoder proposal
+    loss).
 
     targets: dict(labels=[B, M] int, boxes=[B, M, 4] cxcywh in [0, 1],
     mask=[B, M] 1.0 for real objects).
@@ -64,19 +66,22 @@ def detection_loss(outputs, targets, matcher: str = "fixed",
     gradient at all, because the decoder consumes detached references.
     """
     loss = _single_detection_loss(
-        outputs, targets, matcher, giou_weight, class_loss, eos_coef)
+        outputs, targets, matcher, giou_weight, class_loss, eos_coef,
+        l1_weight=l1_weight)
     for aux_out in outputs.get("aux", ()):
         loss = loss + aux_weight * _single_detection_loss(
-            aux_out, targets, matcher, giou_weight, class_loss, eos_coef
+            aux_out, targets, matcher, giou_weight, class_loss, eos_coef,
+            l1_weight=l1_weight
         )
     if "enc" in outputs:
         loss = loss + enc_weight * _enc_proposal_loss(
-            outputs["enc"], targets
+            outputs["enc"], targets, giou_weight=giou_weight,
+            l1_weight=l1_weight
         )
     return loss
 
 
-def _enc_proposal_loss(enc, targets):
+def _enc_proposal_loss(enc, targets, giou_weight=2.0, l1_weight=5.0):
     """Two-stage encoder proposal loss (arXiv:2010.04159 §A.4 recipe,
     jit-friendly variant).
 
@@ -111,16 +116,19 @@ def _enc_proposal_loss(enc, targets):
     sel = jnp.take_along_axis(pboxes, idx[..., None], axis=1)  # [B, M, 4]
     l1 = jnp.abs(sel - tboxes).sum(-1)
     n_real = jnp.maximum(mask.sum(), 1.0)
-    box_loss = (l1 * mask).sum() / n_real
-    from .boxes import generalized_box_iou
+    loss = obj_loss + l1_weight * (l1 * mask).sum() / n_real
+    if giou_weight:
+        from .boxes import generalized_box_iou
 
-    giou_loss = ((1.0 - generalized_box_iou(sel, tboxes)) * mask).sum() / n_real
-    return obj_loss + box_loss + giou_loss
+        giou = generalized_box_iou(sel, tboxes)
+        loss = loss + giou_weight * ((1.0 - giou) * mask).sum() / n_real
+    return loss
 
 
 def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0,
                            class_loss="ce", eos_coef=0.1,
-                           focal_alpha=0.25, focal_gamma=2.0):
+                           focal_alpha=0.25, focal_gamma=2.0,
+                           l1_weight=5.0):
     logits = outputs["logits"]  # [B, N, K]
     boxes = outputs["boxes"]    # [B, N, 4]
     labels = targets["labels"]  # [B, M]
@@ -182,13 +190,19 @@ def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0,
         onehot = jax.nn.one_hot(full_labels, K)  # no-object -> zero row
         focal = optax.sigmoid_focal_loss(
             logits, onehot, alpha=focal_alpha, gamma=focal_gamma)
-        cls = focal.mean(-1).sum() / n_real
+        # Deformable-DETR normalization: SUM over classes (not mean),
+        # / num real boxes — a mean over K would weaken classification
+        # gradients K-fold vs the published recipe
+        cls = focal.sum() / n_real
     else:
         raise ValueError(
             f"class_loss must be 'ce' or 'focal', got {class_loss!r}")
 
+    # box-term weights match the matching cost (the paper uses the SAME
+    # 5*L1 + 2*GIoU weights in cost and loss — a mismatch makes matching
+    # and optimization pull in different directions)
     l1 = jnp.abs(sel_boxes - tboxes).sum(-1)
-    loss = cls + (l1 * mask).sum() / n_real
+    loss = cls + l1_weight * (l1 * mask).sum() / n_real
     if giou_weight:
         from .boxes import generalized_box_iou
 

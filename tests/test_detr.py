@@ -297,9 +297,12 @@ def test_detr_remat_matches_no_remat():
     flat0 = jax.tree.leaves(g0)
     flat1 = jax.tree.leaves(g1)
     assert len(flat0) == len(flat1)
+    # not bit-exact: the rematerialized backward recomputes activations
+    # through a different XLA fusion/ordering, so f32 roundoff of a few
+    # ulps accumulates through the decoder stack
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
 def test_detr_bf16_compute_policy():

@@ -107,9 +107,10 @@ def test_focal_matches_manual_formula():
     a = np.where(onehot > 0, alpha, 1.0 - alpha)
     bce = -np.log(np.clip(pt, 1e-12, 1.0))
     focal = a * (1.0 - pt) ** gamma * bce
-    cls = focal.mean(-1).sum() / M
+    # Deformable-DETR normalization: sum over (B, N, K) / num real boxes
+    cls = focal.sum() / M
     l1 = np.abs(np.asarray(boxes)[:, :M] - np.asarray(tboxes)).sum(-1)
-    want = cls + l1.mean() * 0 + (l1.sum() / M)
+    want = cls + 5.0 * (l1.sum() / M)
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 

@@ -117,3 +117,30 @@ def test_module_grad_flows():
     leaves = jax.tree.leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in leaves)
+
+
+def test_module_f64_path_keeps_precision(cpu_device):
+    """Under jax_enable_x64 with f64 inputs the module's point/weight math
+    must stay f64 (the geometry promotion is to *at least* f32, not a
+    hard downcast) — the f64-capable interpreter path the README
+    advertises."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msda_tpu.models import MultiscaleDeformableAttention
+
+    rng = np.random.default_rng(11)
+    shapes = np.array([(4, 4), (2, 2)], np.int32)
+    model = MultiscaleDeformableAttention(
+        emb_dim=16, hidden_dim=16, num_levels=2, num_heads=2,
+        num_points=2, impl="reference", param_dtype=jnp.float64,
+    )
+    with jax.default_device(cpu_device):
+        img = jnp.asarray(rng.standard_normal((1, 20, 16)), jnp.float64)
+        queries = jnp.asarray(rng.standard_normal((1, 3, 16)), jnp.float64)
+        refs = jnp.asarray(rng.random((1, 3, 2)), jnp.float64)
+        params = model.init(jax.random.PRNGKey(0), img, shapes, queries, refs)
+        out = model.apply(params, img, shapes, queries, refs)
+    assert out.dtype == jnp.float64
+    assert np.isfinite(np.asarray(out)).all()
