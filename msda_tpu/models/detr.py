@@ -346,11 +346,14 @@ class DeformableDetr(nn.Module):
 
 
 def postprocess(outputs, top_k: int = 100,
-                scoring: str = "softmax"):
+                scoring: str = "softmax", image_sizes=None):
     """Decode detector outputs into ranked detections (jit-friendly).
 
     DETR-style one-to-one decoding (no NMS needed): scores over all
     (query, class) pairs, global top-k, boxes gathered per selected query.
+    With ``image_sizes`` (``[B, 2]`` (height, width) per image), boxes are
+    returned as absolute ``(x0, y0, x1, y1)`` pixel coordinates (the HF
+    post-processor convention); otherwise normalized ``(cx, cy, w, h)``.
 
     ``scoring`` must match the training objective:
 
@@ -383,4 +386,12 @@ def postprocess(outputs, top_k: int = 100,
     q_idx = flat_idx // K
     labels = flat_idx % K
     sel_boxes = jnp.take_along_axis(boxes, q_idx[..., None], axis=1)
+    if image_sizes is not None:
+        from ..parallel.boxes import box_cxcywh_to_xyxy
+
+        sizes = jnp.asarray(image_sizes).astype(sel_boxes.dtype)  # [B, 2] (h, w)
+        scale = jnp.stack(
+            [sizes[:, 1], sizes[:, 0], sizes[:, 1], sizes[:, 0]], axis=-1
+        )  # (w, h, w, h)
+        sel_boxes = box_cxcywh_to_xyxy(sel_boxes) * scale[:, None, :]
     return {"scores": sel_scores, "labels": labels, "boxes": sel_boxes}

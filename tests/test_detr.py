@@ -353,3 +353,21 @@ def test_detr_bf16_compute_policy():
         for g in jax.tree.leaves(grads):
             assert np.isfinite(np.asarray(g)).all()
             assert g.dtype == jnp.float32
+
+
+def test_postprocess_absolute_xyxy():
+    """image_sizes converts the decoded boxes to absolute (x0, y0, x1, y1)
+    pixel coordinates — the HF post-processor convention."""
+    from msda_tpu.models.detr import postprocess
+
+    logits = jnp.asarray([[[5.0, 0.0, -5.0]]])       # 1 query, 3 classes
+    boxes = jnp.asarray([[[0.5, 0.25, 0.2, 0.1]]])   # cxcywh normalized
+    out = postprocess({"logits": logits, "boxes": boxes}, top_k=1,
+                      image_sizes=jnp.asarray([[200, 100]]))  # (h, w)
+    got = np.asarray(out["boxes"])[0, 0]
+    # cx*w=50, cy*h=50, half-extents 10 / 10 -> (40, 40, 60, 60)
+    np.testing.assert_allclose(got, [40.0, 40.0, 60.0, 60.0], atol=1e-4)
+    # default stays normalized cxcywh
+    out2 = postprocess({"logits": logits, "boxes": boxes}, top_k=1)
+    np.testing.assert_allclose(
+        np.asarray(out2["boxes"])[0, 0], [0.5, 0.25, 0.2, 0.1], atol=1e-6)
