@@ -105,3 +105,33 @@ def test_big_pyramid_streams_on_tpu():
         np.testing.assert_allclose(
             g, w, atol=tol * scale, rtol=1e-3,
             err_msg=f"big-pyramid {name}")
+
+
+@requires_tpu
+@pytest.mark.slow
+def test_big_pyramid_streams_on_tpu_bf16():
+    """The streamed kernels' bf16 scheme (single-pass MXU contraction)
+    on a large pyramid vs the f32 reference — covers the scheme branch
+    the f32 test above does not."""
+    rng = np.random.default_rng(13)
+    shapes = BIG_SHAPES
+    B, H, C, P, L, N = 1, 2, 32, 2, 4, 256
+    I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
+    img = rng.standard_normal((B, I, H, C)).astype(np.float32)
+    pts = (rng.random((B, N, H, L, P, 2)) * 1.2 - 0.1).astype(np.float32)
+    logits = rng.standard_normal((B, N, H, L, P))
+    e = np.exp(logits - logits.max(axis=(-1, -2), keepdims=True))
+    wts = (e / e.sum(axis=(-1, -2), keepdims=True)).astype(np.float32)
+    og = rng.random((B, N, H, C)).astype(np.float32)
+
+    data16 = (img.astype(jnp.bfloat16), shapes,
+              pts.astype(jnp.bfloat16), wts.astype(jnp.bfloat16), og)
+    got = _run("pallas", data16, "border", False)
+    want = _run("reference", (img, shapes, pts, wts, og), "border", False)
+    # bf16 inputs: tolerance dominated by the input quantization (~2^-8)
+    names = ("out", "img_grad", "pts_grad", "wts_grad")
+    for g, w, name in zip(got, want, names):
+        scale = max(1.0, float(np.abs(w).max()))
+        np.testing.assert_allclose(
+            g.astype(np.float32), w, atol=0.04 * scale, rtol=0.05,
+            err_msg=f"big-pyramid bf16 {name}")
