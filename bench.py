@@ -32,9 +32,14 @@ def _watchdog():
     os._exit(3)
 
 
-_timer = threading.Timer(_WATCHDOG_SECS, _watchdog)
-_timer.daemon = True  # never outlive a successful run
-_timer.start()
+# arm only when executed as a script (the driver's invocation) — an
+# importer should not inherit a process-killing timer.  This must happen
+# HERE, before `import jax`: the hang being guarded against is the
+# backend attach inside jax initialization.
+if __name__ == "__main__":
+    _timer = threading.Timer(_WATCHDOG_SECS, _watchdog)
+    _timer.daemon = True  # never outlive a successful run
+    _timer.start()
 
 import jax
 import jax.numpy as jnp
