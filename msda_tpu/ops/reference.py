@@ -28,9 +28,7 @@ Notation (same as the reference, kernels.py:8-15):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = [
     "native_multiscale_deformable_attention",

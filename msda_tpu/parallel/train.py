@@ -12,8 +12,6 @@ is part of the framework extension that makes the op production-usable.
 from __future__ import annotations
 
 import functools
-from typing import Any, Mapping
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -162,8 +160,7 @@ def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0,
     else:
         raise ValueError(f"matcher must be 'fixed' or 'auction', got {matcher!r}")
 
-    sel_logits = logits[b_idx, q_idx]  # [B, M, K]
-    sel_boxes = boxes[b_idx, q_idx]    # [B, M, 4]
+    sel_boxes = boxes[b_idx, q_idx]  # [B, M, 4]
 
     # Per-query class assignment covering EVERY query: matched queries get
     # their target class, all others the no-object value — DETR's recipe

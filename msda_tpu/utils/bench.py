@@ -15,7 +15,6 @@ import time
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 __all__ = ["timeit_op", "device_memory_stats"]
 
