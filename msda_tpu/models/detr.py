@@ -366,7 +366,9 @@ def postprocess(outputs, top_k: int = 100,
       class), the Deformable-DETR focal-loss decode — pairs with
       ``detection_loss(class_loss="focal")``.
 
-    Returns dict(scores=[B, K], labels=[B, K], boxes=[B, K, 4] cxcywh).
+    Returns dict(scores=[B, K], labels=[B, K], boxes=[B, K, 4]) where
+    boxes are normalized ``(cx, cy, w, h)`` — or absolute ``(x0, y0,
+    x1, y1)`` pixel coordinates when ``image_sizes`` is given (above).
     """
     logits = outputs["logits"]
     boxes = outputs["boxes"]

@@ -85,6 +85,23 @@ def _check_inputs(img, img_shapes, sampling_points, attention_weights):
         )
 
 
+def _concrete_shapes_tuple(img_shapes):
+    """``None`` if ``img_shapes`` is traced, else a static ``((h, w), ...)``
+    tuple of ints.  Concreteness must be judged on the *raw* argument:
+    ``jnp.asarray`` stages even numpy constants into tracers under an
+    outer jit.  The single source of truth for dispatch concreteness —
+    used by both the op entry and :func:`resolved_impl` so the module's
+    mesh-path routing can never diverge from the op's own dispatch."""
+    if isinstance(img_shapes, jax.core.Tracer):
+        return None
+    shapes_np = np.asarray(jax.device_get(img_shapes))
+    if shapes_np.ndim != 2 or shapes_np.shape[-1] != 2:
+        raise ValueError(
+            f"`img_shapes` must be [L, 2], got shape {shapes_np.shape}"
+        )
+    return tuple((int(h), int(w)) for h, w in shapes_np)
+
+
 def _resolve_impl(impl: str, shapes_tuple, dtype) -> str:
     if impl not in _VALID_IMPL:
         raise ValueError(f"impl must be one of {_VALID_IMPL}, got {impl!r}")
@@ -120,12 +137,7 @@ def resolved_impl(impl: str, img_shapes, dtype) -> str:
     ``parallel.shard_map_multiscale_deformable_attention`` instead of
     sharding constraints.
     """
-    if isinstance(img_shapes, jax.core.Tracer):
-        shapes_tuple = None
-    else:
-        shapes_np = np.asarray(jax.device_get(img_shapes))
-        shapes_tuple = tuple((int(h), int(w)) for h, w in shapes_np)
-    return _resolve_impl(impl, shapes_tuple, dtype)
+    return _resolve_impl(impl, _concrete_shapes_tuple(img_shapes), dtype)
 
 
 def _shapes_arg(shapes_tuple, img_shapes):
@@ -269,17 +281,7 @@ def multiscale_deformable_attention(
         raise ValueError(
             f"padding_mode must be one of {_VALID_PADDING}, got {padding_mode!r}"
         )
-    # concreteness must be judged on the *raw* argument: jnp.asarray stages
-    # even numpy constants into tracers under an outer jit
-    if isinstance(img_shapes, jax.core.Tracer):
-        shapes_tuple = None  # reference impl only (see _resolve_impl)
-    else:
-        shapes_np = np.asarray(jax.device_get(img_shapes))
-        if shapes_np.ndim != 2 or shapes_np.shape[-1] != 2:
-            raise ValueError(
-                f"`img_shapes` must be [L, 2], got shape {shapes_np.shape}"
-            )
-        shapes_tuple = tuple((int(h), int(w)) for h, w in shapes_np)
+    shapes_tuple = _concrete_shapes_tuple(img_shapes)
     img_shapes = jnp.asarray(img_shapes)
     if not jnp.issubdtype(img_shapes.dtype, jnp.integer):
         img_shapes = img_shapes.astype(jnp.int32)

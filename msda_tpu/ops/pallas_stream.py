@@ -15,11 +15,19 @@ the pallas block machinery streams bands HBM->VMEM double-buffered.
 forward   grid (B*H, n_blocks, n_bands), bands innermost:
     out[bh, :, nb] accumulates across the sequential band axis in VMEM
     (`@pl.when(rb == 0)` init) and flushes once per query block.
-backward  grid (B*H, n_bands, n_blocks), query blocks innermost:
-    the transposed img-grad band accumulates across query blocks in VMEM;
-    the per-point grads (wg/gx/gy) accumulate across *bands* through
-    aliased input/output buffers (read-modify-write via HBM — the blocks
-    are tiny [P, nblk] slices, so the extra traffic is negligible).
+backward  two pallas calls per level, because its two accumulations run
+    along *different* grid axes and the VMEM out-ref accumulator pattern
+    is only sound over the innermost (consecutively-revisited) axis:
+      * per-point grads (wg/gx/gy) — grid (B*H, n_blocks, n_bands),
+        bands innermost, accumulating in the out refs like the forward;
+      * transposed img-grad — grid (B*H, n_bands, n_blocks), query
+        blocks innermost, accumulating the band's [C, yb*w8] tile.
+    (A single fused kernel would need one of the two reductions to cross
+    a non-innermost axis via aliased-input HBM read-modify-write, whose
+    correctness rests on undocumented pipelining internals — Pallas may
+    elide refetches/flushes of blocks whose index did not change, which
+    breaks RMW whenever n_blocks == 1.)  The only duplicated work is the
+    per-point sparse-factor build, a few [yb|w8, nblk] VPU ops per point.
 
 Both rematerialize the interpolation factors per band (the geometry
 arrays are the only HBM-resident state, as in the resident kernels), so
@@ -117,6 +125,34 @@ def _level_e(img, start, h, w, w8, nrb, yb, dtype):
     return lvl.reshape(B, H, nrb * yb * w8, C)
 
 
+def _split_img(img, scheme):
+    """Pre-split/cast the raw ``img`` once, before any level relayout.
+
+    Mirrors ``build_e_cat``'s split-before-relayout: the exact bf16
+    2-way split and dtype casts are elementwise, so they commute with
+    the per-level transpose/zero-pad in ``_level_e`` — doing them here
+    (once, on the compact [B, I, H, C] array) avoids materializing a
+    padded f32 copy of every level before splitting.  Returns a tuple of
+    pre-split arrays consumed by ``_level_e_cat``.
+    """
+    if scheme == "x3":
+        return split_bf16_xla(img.astype(_F32))
+    if scheme == "bf16":
+        return (img.astype(_BF16),)
+    return (img.astype(_F32),)
+
+
+def _level_e_cat(parts, start, h, w, w8, nrb, yb, scheme, C):
+    """One level's kernel E operand for ``scheme``: ([B, H, nrb*yb*w8,
+    ndim], ndim), ndim = 2C for x3 (``[E_h | E_l]`` bf16) else C."""
+    if scheme == "x3":
+        e_h = _level_e(parts[0], start, h, w, w8, nrb, yb, _BF16)
+        e_l = _level_e(parts[1], start, h, w, w8, nrb, yb, _BF16)
+        return jnp.concatenate([e_h, e_l], axis=3), 2 * C
+    part = parts[0]
+    return _level_e(part, start, h, w, w8, nrb, yb, part.dtype), C
+
+
 def _band_factors(xp, yp, wtp, y0, h, w, w8, yb, nblk,
                   padding_mode, align_corners):
     """Per-point 2-sparse factors restricted to one y band.
@@ -203,7 +239,7 @@ def stream_fwd(img, sampling_points, attention_weights,
     geom = _pad_queries(geom, N, n_pad)
     x_all, y_all, wt_all = geom
 
-    e_dtype = _BF16 if scheme in ("x3", "bf16") else _F32
+    parts = _split_img(img, scheme)
 
     out = None
     start = 0
@@ -212,18 +248,9 @@ def stream_fwd(img, sampling_points, attention_weights,
         w8 = _round_up(w, 8)
         yb = max(8, BAND_ROWS_STREAM // w8)
         nrb = -(-h // yb)
-        e = _level_e(img, start, h, w, w8, nrb, yb, _F32)
+        e_cat, ndim = _level_e_cat(parts, start, h, w, w8, nrb, yb,
+                                   scheme, C)
         start += h * w
-        if scheme == "x3":
-            e_h, e_l = split_bf16_xla(e)
-            e_cat = jnp.concatenate([e_h, e_l], axis=3)
-            ndim = 2 * C
-        elif scheme == "bf16":
-            e_cat = e.astype(_BF16)
-            ndim = C
-        else:
-            e_cat = e
-            ndim = C
 
         xl = x_all[:, :, li]   # [B, H, P, n_pad]
         yl = y_all[:, :, li]
@@ -268,14 +295,19 @@ def stream_fwd(img, sampling_points, attention_weights,
     return out.astype(img.dtype)
 
 
-def _stream_bwd_kernel(
+def _stream_bwd_pts_kernel(
     x_ref, y_ref, wt_ref, og_ref, e_ref,
-    wg_in, gx_in, gy_in,
-    wg_ref, gx_ref, gy_ref, ig_ref,
+    wg_ref, gx_ref, gy_ref,
     *, h, w, w8, yb, C, P, nblk, scheme, padding_mode, align_corners,
 ):
-    nq = pl.program_id(2)
-    rb = pl.program_id(1)
+    """Per-point grads; grid (B*H, n_blocks, n_bands), bands innermost.
+
+    The out blocks' indices depend only on the query block, so across the
+    innermost band axis each stays VMEM-resident and accumulates with the
+    documented ``@pl.when(rb == 0)`` init pattern (single ref update per
+    output per grid step — per-band RMW on a ref serializes the MXU, see
+    docs/PERF_NOTES.md)."""
+    rb = pl.program_id(2)
     y0 = (rb * np.int32(yb)).astype(jnp.int32)
     xin = x_ref[0, 0, 0].astype(_F32)
     yin = y_ref[0, 0, 0].astype(_F32)
@@ -291,17 +323,13 @@ def _stream_bwd_kernel(
             [ew[:, :C], ew[:, :C], ew[:, C:], ew[:, C:]], axis=1)
         G = jax.lax.dot_general(
             e4, og_cat, dn_g, preferred_element_type=_F32)
-        og_parts = (og_h, og_l)
     elif scheme == "highest":
         G = jax.lax.dot_general(
             ew, og, dn_g, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=_F32)
-        og_parts = None
     else:
-        og_b = og.astype(_BF16)
-        G = jax.lax.dot_general(ew, og_b, dn_g,
+        G = jax.lax.dot_general(ew, og.astype(_BF16), dn_g,
                                 preferred_element_type=_F32)
-        og_parts = og_b
     G3 = G.reshape(yb, w8, nblk)
 
     if align_corners:
@@ -311,7 +339,7 @@ def _stream_bwd_kernel(
         xsc = np.float32(w)
         ysc = np.float32(h)
 
-    wys_w, vxs = [], []
+    wg_rows, gx_rows, gy_rows = [], [], []
     for p in range(P):
         geo = point_geometry(xin[p][None], yin[p][None], h, w,
                              padding_mode, align_corners)
@@ -327,23 +355,54 @@ def _stream_bwd_kernel(
         rowy = jnp.sum(G3 * vx[None], axis=1)    # [yb, nblk]
         rowyd = jnp.sum(G3 * vxd[None], axis=1)
         wtp = wt[p]
-        wg_ref[0, 0, 0, p] = wg_in[0, 0, 0, p] + jnp.sum(wy * rowy, axis=0)
-        gx_ref[0, 0, 0, p] = gx_in[0, 0, 0, p] + (
-            xsc * wtp * jnp.sum(wy * rowyd, axis=0))
-        gy_ref[0, 0, 0, p] = gy_in[0, 0, 0, p] + (
-            ysc * wtp * jnp.sum(wyd * rowy, axis=0))
-        wys_w.append(wy * wtp[None])
-        vxs.append(vx)
+        wg_rows.append(jnp.sum(wy * rowy, axis=0))
+        gx_rows.append(xsc * wtp * jnp.sum(wy * rowyd, axis=0))
+        gy_rows.append(ysc * wtp * jnp.sum(wyd * rowy, axis=0))
+
+    wg_step = jnp.stack(wg_rows, axis=0)         # [P, nblk]
+    gx_step = jnp.stack(gx_rows, axis=0)
+    gy_step = jnp.stack(gy_rows, axis=0)
+
+    @pl.when(rb == 0)
+    def _():
+        wg_ref[0, 0, 0] = wg_step
+        gx_ref[0, 0, 0] = gx_step
+        gy_ref[0, 0, 0] = gy_step
+
+    @pl.when(rb != 0)
+    def _():
+        wg_ref[0, 0, 0] = wg_ref[0, 0, 0] + wg_step
+        gx_ref[0, 0, 0] = gx_ref[0, 0, 0] + gx_step
+        gy_ref[0, 0, 0] = gy_ref[0, 0, 0] + gy_step
+
+
+def _stream_bwd_img_kernel(
+    x_ref, y_ref, wt_ref, og_ref, ig_ref,
+    *, h, w, w8, yb, C, P, nblk, scheme, padding_mode, align_corners,
+):
+    """Transposed img-grad; grid (B*H, n_bands, n_blocks), queries
+    innermost — the band's [C, yb*w8] tile accumulates across query
+    blocks in VMEM and flushes once per band.  Needs no E operand."""
+    rb = pl.program_id(1)
+    nq = pl.program_id(2)
+    y0 = (rb * np.int32(yb)).astype(jnp.int32)
+    xin = x_ref[0, 0, 0].astype(_F32)
+    yin = y_ref[0, 0, 0].astype(_F32)
+    wt = wt_ref[0, 0, 0].astype(_F32)
+    og = og_ref[0, 0].astype(_F32)          # [nblk, C]
 
     acc = None
     for p in range(P):
-        term = wys_w[p][:, None, :] * vxs[p][None, :, :]
+        wy, vx, _ = _band_factors(
+            xin[p], yin[p], wt[p], y0, h, w, w8, yb, nblk,
+            padding_mode, align_corners)
+        term = wy[:, None, :] * vx[None, :, :]
         acc = term if acc is None else acc + term
     a_band = acc.reshape(yb * w8, nblk)
 
     dn_ig = (((0,), (1,)), ((), ()))
     if scheme == "x3":
-        og_h, og_l = og_parts
+        og_h, og_l = split_bf16(og)
         a_h, a_l = split_bf16(a_band)
         og_cat2 = jnp.concatenate([og_h, og_l], axis=1)
         d1 = jax.lax.dot_general(
@@ -357,7 +416,7 @@ def _stream_bwd_kernel(
             preferred_element_type=_F32)
     else:
         ig_step = jax.lax.dot_general(
-            og_parts, a_band, dn_ig, preferred_element_type=_F32)
+            og.astype(_BF16), a_band, dn_ig, preferred_element_type=_F32)
 
     @pl.when(nq == 0)
     def _():
@@ -396,6 +455,8 @@ def stream_bwd(img, sampling_points, attention_weights, out_grad,
     if n_pad != N:
         og = jnp.pad(og, [(0, 0), (0, 0), (0, n_pad - N), (0, 0)])
 
+    parts = _split_img(img, scheme)
+
     wg_parts, gx_parts, gy_parts, ig_parts = [], [], [], []
     start = 0
     for li, (h, w) in enumerate(shapes_tuple):
@@ -403,70 +464,78 @@ def stream_bwd(img, sampling_points, attention_weights, out_grad,
         w8 = _round_up(w, 8)
         yb = max(8, BAND_ROWS_STREAM // w8)
         nrb = -(-h // yb)
-        e = _level_e(img, start, h, w, w8, nrb, yb, _F32)
+        e_cat, ndim = _level_e_cat(parts, start, h, w, w8, nrb, yb,
+                                   scheme, C)
         start += h * w
-        if scheme == "x3":
-            e_h, e_l = split_bf16_xla(e)
-            e_cat = jnp.concatenate([e_h, e_l], axis=3)
-            ndim = 2 * C
-        elif scheme == "bf16":
-            e_cat = e.astype(_BF16)
-            ndim = C
-        else:
-            e_cat = e
-            ndim = C
 
         xl = x_all[:, :, li][:, :, None]
         yl = y_all[:, :, li][:, :, None]
         wl = wt_all[:, :, li][:, :, None]
-        zero_pt = jnp.zeros((B, H, 1, P, n_pad), _F32)
 
-        grid = (B * H, nrb, n_pad // nblk)
+        kargs = dict(
+            h=h, w=w, w8=w8, yb=yb, C=C, P=P, nblk=nblk, scheme=scheme,
+            padding_mode=padding_mode, align_corners=bool(align_corners))
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
 
-        def pt_spec():
+        # per-point grads: grid (bh, nb, rb), bands innermost
+        def pt_spec_nb():
+            return pl.BlockSpec(
+                (1, 1, 1, P, nblk),
+                lambda bh, nb, rb: (bh // H, bh % H, 0, 0, nb),
+                memory_space=pltpu.VMEM)
+
+        og_spec_nb = pl.BlockSpec(
+            (1, 1, nblk, C),
+            lambda bh, nb, rb: (bh // H, bh % H, nb, 0),
+            memory_space=pltpu.VMEM)
+        e_spec_nb = pl.BlockSpec(
+            (1, 1, yb * w8, ndim),
+            lambda bh, nb, rb: (bh // H, bh % H, rb, 0),
+            memory_space=pltpu.VMEM)
+
+        wg, gx, gy = pl.pallas_call(
+            functools.partial(_stream_bwd_pts_kernel, **kargs),
+            grid=(B * H, n_pad // nblk, nrb),
+            in_specs=[pt_spec_nb() for _ in range(3)]
+            + [og_spec_nb, e_spec_nb],
+            out_specs=[pt_spec_nb(), pt_spec_nb(), pt_spec_nb()],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, 1, P, n_pad), _F32),
+                jax.ShapeDtypeStruct((B, H, 1, P, n_pad), _F32),
+                jax.ShapeDtypeStruct((B, H, 1, P, n_pad), _F32),
+            ],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(xl, yl, wl, og, e_cat)
+
+        # img grad: grid (bh, rb, nb), query blocks innermost
+        def pt_spec_rb():
             return pl.BlockSpec(
                 (1, 1, 1, P, nblk),
                 lambda bh, rb, nb: (bh // H, bh % H, 0, 0, nb),
                 memory_space=pltpu.VMEM)
 
-        og_spec = pl.BlockSpec(
+        og_spec_rb = pl.BlockSpec(
             (1, 1, nblk, C),
             lambda bh, rb, nb: (bh // H, bh % H, nb, 0),
-            memory_space=pltpu.VMEM)
-        e_spec = pl.BlockSpec(
-            (1, 1, yb * w8, ndim),
-            lambda bh, rb, nb: (bh // H, bh % H, rb, 0),
             memory_space=pltpu.VMEM)
         ig_spec = pl.BlockSpec(
             (1, 1, C, yb * w8),
             lambda bh, rb, nb: (bh // H, bh % H, 0, rb),
             memory_space=pltpu.VMEM)
 
-        kernel = functools.partial(
-            _stream_bwd_kernel,
-            h=h, w=w, w8=w8, yb=yb, C=C, P=P, nblk=nblk, scheme=scheme,
-            padding_mode=padding_mode, align_corners=bool(align_corners))
-
-        wg, gx, gy, ig = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[pt_spec() for _ in range(3)] + [og_spec, e_spec]
-            + [pt_spec() for _ in range(3)],
-            out_specs=[pt_spec(), pt_spec(), pt_spec(), ig_spec],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, H, 1, P, n_pad), _F32),
-                jax.ShapeDtypeStruct((B, H, 1, P, n_pad), _F32),
-                jax.ShapeDtypeStruct((B, H, 1, P, n_pad), _F32),
-                jax.ShapeDtypeStruct((B, H, C, nrb * yb * w8), _F32),
-            ],
-            # wg/gx/gy accumulate across the band grid axis through their
-            # aliased zero-initialized inputs (RMW via HBM; tiny blocks)
-            input_output_aliases={5: 0, 6: 1, 7: 2},
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-                vmem_limit_bytes=100 * 1024 * 1024),
+        ig = pl.pallas_call(
+            functools.partial(_stream_bwd_img_kernel, **kargs),
+            grid=(B * H, nrb, n_pad // nblk),
+            in_specs=[pt_spec_rb() for _ in range(3)] + [og_spec_rb],
+            out_specs=ig_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (B, H, C, nrb * yb * w8), _F32),
+            compiler_params=cparams,
             interpret=interpret,
-        )(xl, yl, wl, og, e_cat, zero_pt, zero_pt, zero_pt)
+        )(xl, yl, wl, og)
 
         wg_parts.append(wg)
         gx_parts.append(gx)

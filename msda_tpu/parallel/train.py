@@ -267,16 +267,19 @@ def shard_params(params, mesh: Mesh):
 def make_train_step(model, optimizer, mesh: Mesh | None, img_shapes,
                     matcher: str = "fixed", aux_weight: float = 1.0,
                     enc_weight: float = 1.0, giou_weight: float = 2.0,
-                    class_loss: str = "ce", eos_coef: float = 0.1):
+                    class_loss: str = "ce", eos_coef: float = 0.1,
+                    l1_weight: float = 5.0):
     """Build a jitted train step:
     (params, opt_state, pyramid, targets) -> (params, opt_state, loss).
 
     With a ``mesh``, inputs carry the (dp, sp, tp) shardings (``pyramid``
     over dp; sp over pixels is implicit via the op constraints, targets
     over dp) and GSPMD inserts the collectives; ``mesh=None`` builds the
-    same step single-device.  ``matcher``/``aux_weight``/``enc_weight``
-    are threaded to :func:`detection_loss`, so e.g. ``matcher="auction"``
-    trains with the DETR bipartite-matching recipe.
+    same step single-device.  Every :func:`detection_loss` knob
+    (``matcher``/``aux_weight``/``enc_weight``/``giou_weight``/
+    ``class_loss``/``eos_coef``/``l1_weight``) is threaded through, so
+    e.g. ``matcher="auction"`` trains with the DETR bipartite-matching
+    recipe.
     """
 
     def loss_fn(params, pyramid, targets):
@@ -291,7 +294,7 @@ def make_train_step(model, optimizer, mesh: Mesh | None, img_shapes,
         return detection_loss(outputs, targets, matcher=matcher,
                               aux_weight=aux_weight, enc_weight=enc_weight,
                               giou_weight=giou_weight, class_loss=class_loss,
-                              eos_coef=eos_coef)
+                              eos_coef=eos_coef, l1_weight=l1_weight)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, pyramid, targets):

@@ -18,6 +18,23 @@ import jax
 __all__ = ["trace", "annotate"]
 
 
+def _all_devices():
+    """Devices of every *initialized* backend, not just the default
+    platform.  Uses only platforms that are already up — probing new
+    backends inside the drain could itself hang (e.g. a TPU tunnel)."""
+    devices = []
+    try:
+        backends = jax.extend.backend.backends()  # name -> client
+    except Exception:
+        return jax.devices()
+    for name in backends:
+        try:
+            devices.extend(jax.devices(name))
+        except RuntimeError:
+            continue
+    return devices or jax.devices()
+
+
 @contextlib.contextmanager
 def trace(log_dir: str | os.PathLike, *, block: bool = True):
     """Capture a profiler trace of the enclosed region.
@@ -36,10 +53,11 @@ def trace(log_dir: str | os.PathLike, *, block: bool = True):
         yield log_dir
     finally:
         if block:
-            # drain: block on a dummy computation on *every* device, so
-            # in-flight work anywhere (mesh runs, non-default
-            # default_device) finishes before the trace closes
-            for dev in jax.devices():
+            # drain: block on a dummy transfer to every device of every
+            # initialized backend (jax.devices() alone only covers the
+            # default platform, missing e.g. CPU work dispatched under
+            # jax.default_device while TPU is the default backend)
+            for dev in _all_devices():
                 jax.device_put(0.0, dev).block_until_ready()
         jax.profiler.stop_trace()
 

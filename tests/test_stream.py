@@ -78,6 +78,41 @@ def test_stream_interpreter_matches_reference(padding_mode, align_corners):
     np.testing.assert_allclose(np.asarray(wg), want[3], atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("padding_mode,align_corners",
+                         [("border", True), ("zeros", False)])
+def test_stream_multiblock_accumulation(monkeypatch, padding_mode,
+                                        align_corners):
+    """Both streamed-backward reductions with >1 step on BOTH grid axes:
+    a small query block (nblk=32 -> 3 query blocks at N=80) x 2 row
+    bands, so the per-point grads accumulate across bands AND the img
+    grad accumulates across query blocks.  Regression for the
+    single-kernel design this replaced, whose cross-axis aliased-input
+    RMW depended on undocumented pipelining internals."""
+    monkeypatch.setattr(ps, "N_BLOCK_STREAM", 32)
+    data = get_functional_data(B=1, H=2, N=80, P=3, oob=True)
+    img, shapes, pts, wts, og = data
+    shapes_tuple = tuple((int(h), int(w)) for h, w in shapes)
+
+    want = _run("reference", data, padding_mode, align_corners)
+
+    got_fwd = ps.stream_fwd(
+        jnp.asarray(img), jnp.asarray(pts), jnp.asarray(wts),
+        shapes_tuple=shapes_tuple, padding_mode=padding_mode,
+        align_corners=align_corners, scheme="highest", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_fwd), want[0], atol=1e-5, rtol=1e-5)
+
+    ig, pg, wg = ps.stream_bwd(
+        jnp.asarray(img), jnp.asarray(pts), jnp.asarray(wts),
+        jnp.asarray(og), shapes_tuple=shapes_tuple,
+        padding_mode=padding_mode, align_corners=align_corners,
+        scheme="highest", interpret=True)
+    np.testing.assert_allclose(np.asarray(ig), want[1], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pg), want[2], atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(wg), want[3], atol=1e-5, rtol=1e-5)
+
+
 @requires_tpu
 @pytest.mark.slow
 def test_big_pyramid_streams_on_tpu():
