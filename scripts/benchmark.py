@@ -38,11 +38,27 @@ from msda_tpu.utils import timeit_op, device_memory_stats
 # (a) run in fresh subprocesses and (b) must run BEFORE this process
 # initializes the device for the timing sweep.
 
-SHAPES = np.array([(64, 64), (32, 32), (16, 16), (8, 8)], np.int32)
+PYRAMIDS = {
+    # the reference benchmark pyramid (scripts/benchmark.py:24-31)
+    "ref": np.array([(64, 64), (32, 32), (16, 16), (8, 8)], np.int32),
+    # large-pyramid geometry: exceeds the resident kernels' VMEM budget,
+    # so impl="pallas" auto-routes to the streamed kernels
+    # (ops/pallas_stream.py) — the capability class the reference kernel
+    # serves from HBM (kernels.py:184-210)
+    "big": np.array([(256, 256), (128, 128), (64, 64), (32, 32)],
+                    np.int32),
+}
+SHAPES = PYRAMIDS["ref"]
 B, H, C, P = 4, 8, 32, 4
 L = len(SHAPES)
 I = int((SHAPES[:, 0] * SHAPES[:, 1]).sum())  # noqa: E741
 PADDING, ALIGN = "border", True
+
+
+def set_pyramid(name):
+    global SHAPES, I
+    SHAPES = PYRAMIDS[name]
+    I = int((SHAPES[:, 0] * SHAPES[:, 1]).sum())  # noqa: E741
 BASELINES = {  # reference Triton numbers on RTX 2060 (README.md:18-19)
     ("fwd", 10000): 3.78,
     ("fwdbwd", 10000): 22.78,
@@ -131,9 +147,10 @@ def bench_memory(impl, n, dtype=jnp.float32):
     """Run the memory probe in a fresh subprocess (see _memory_probe)."""
     import subprocess
 
+    pyr = next(k for k, v in PYRAMIDS.items() if v is SHAPES)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--memory-probe",
-         impl, str(n), jnp.dtype(dtype).name],
+         impl, str(n), jnp.dtype(dtype).name, pyr],
         capture_output=True, text=True, timeout=1200,
     )
     for line in proc.stdout.splitlines():
@@ -151,10 +168,18 @@ def main():
                     help="also run the pallas path in bfloat16")
     ap.add_argument("--no-memory", action="store_true",
                     help="skip the (subprocess-based) memory probes")
-    ap.add_argument("--memory-probe", nargs=3, metavar=("IMPL", "N", "DT"),
+    ap.add_argument("--memory-probe", nargs=4,
+                    metavar=("IMPL", "N", "DT", "PYR"),
                     help=argparse.SUPPRESS)  # internal, fresh-process probe
-    ap.add_argument("--out", default="outputs/benchmark_results.csv")
+    ap.add_argument("--pyramid", choices=list(PYRAMIDS), default="ref",
+                    help="'big' benchmarks the streamed large-pyramid "
+                         "kernel path (256x256 base level)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = ("outputs/benchmark_results.csv" if args.pyramid == "ref"
+                    else f"outputs/benchmark_{args.pyramid}.csv")
+    set_pyramid(args.pyramid)
 
     if args.impls is None:
         # decided without touching jax in this process (the memory probes
@@ -167,7 +192,8 @@ def main():
         )
 
     if args.memory_probe:
-        impl, n, dt = args.memory_probe
+        impl, n, dt, pyr = args.memory_probe
+        set_pyramid(pyr)
         mem = _memory_probe(impl, int(n), jnp.dtype(dt))
         print(f"MEMORY_MB {mem}")
         return
@@ -189,9 +215,11 @@ def main():
     for impl, dtype in configs:
         dt = jnp.dtype(dtype).name
         for n in args.queries:
-            # the XLA-gather reference is ~30x slower at large N; scale the
+            # the XLA-gather reference is ~30x slower at large N (and the
+            # big pyramid multiplies its gather table 16x); scale the
             # iteration count so one row stays under ~a minute
-            slow = impl == "reference" and n >= 900
+            slow = impl == "reference" and (
+                n >= 900 or args.pyramid != "ref")
             t_f = bench_fwd(impl, n, dtype,
                             iters=20 if slow else 150) * 1e3
             t_fb = bench_fwdbwd(impl, n, dtype,
@@ -200,7 +228,8 @@ def main():
             rows.append(dict(impl=impl, dtype=dt, num_queries=n,
                              fwd_ms=round(t_f, 3), fwdbwd_ms=round(t_fb, 3),
                              peak_mem_mb=round(mem, 1)))
-            base_f = BASELINES.get(("fwd", n))
+            base_f = (BASELINES.get(("fwd", n))
+                      if args.pyramid == "ref" else None)
             base_fb = BASELINES.get(("fwdbwd", n))
             extra = ""
             if base_f:
