@@ -282,6 +282,14 @@ def multiscale_deformable_attention(
             f"padding_mode must be one of {_VALID_PADDING}, got {padding_mode!r}"
         )
     shapes_tuple = _concrete_shapes_tuple(img_shapes)
+    if shapes_tuple is not None:
+        expected_i = sum(h * w for h, w in shapes_tuple)
+        if img.shape[1] != expected_i:
+            raise ValueError(
+                f"`img` has {img.shape[1]} pixels but `img_shapes` "
+                f"{shapes_tuple} sums to {expected_i}: the flattened "
+                "pyramid and the level shapes disagree."
+            )
     img_shapes = jnp.asarray(img_shapes)
     if not jnp.issubdtype(img_shapes.dtype, jnp.integer):
         img_shapes = img_shapes.astype(jnp.int32)

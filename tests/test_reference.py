@@ -103,7 +103,7 @@ def test_reference_traced_img_shapes():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("bad", ["padding", "shape"])
+@pytest.mark.parametrize("bad", ["padding", "shape", "pixels"])
 def test_reference_validation_errors(bad):
     from msda_tpu.ops import multiscale_deformable_attention
 
@@ -111,6 +111,12 @@ def test_reference_validation_errors(bad):
     with pytest.raises(ValueError):
         if bad == "padding":
             multiscale_deformable_attention(img, shapes, pts, wts, "reflect", True)
+        elif bad == "pixels":
+            # flattened pyramid length disagrees with the level shapes —
+            # silently sampling garbage would be the failure mode
+            multiscale_deformable_attention(
+                img[:, :-7], shapes, pts, wts, "border", True
+            )
         else:
             multiscale_deformable_attention(
                 img, shapes, pts[..., :1], wts, "border", True
