@@ -121,3 +121,38 @@ def test_reference_validation_errors(bad):
             multiscale_deformable_attention(
                 img, shapes, pts[..., :1], wts, "border", True
             )
+
+
+def test_functional_transforms_compose():
+    """jax.vmap and grad-of-grad compose with the op (the torch reference's
+    autograd.Function is @once_differentiable and has no batching rule —
+    frontend.py:130-131; here both come from the functional design)."""
+    import jax
+    import jax.numpy as jnp
+    from msda_tpu.ops import multiscale_deformable_attention
+
+    rng = np.random.default_rng(5)
+    shapes = np.array([(8, 8), (4, 4)], np.int32)
+    V, B, H, C, L, P, N = 3, 2, 1, 4, 2, 2, 5
+    img = rng.standard_normal((V, B, 80, H, C)).astype(np.float32)
+    pts = rng.random((V, B, N, H, L, P, 2)).astype(np.float32)
+    wts = rng.random((V, B, N, H, L, P)).astype(np.float32)
+
+    def f(i, p, w):
+        return multiscale_deformable_attention(
+            i, shapes, p, w, "border", True)
+
+    batched = jax.vmap(f)(img, pts, wts)
+    looped = jnp.stack([f(img[k], pts[k], wts[k]) for k in range(V)])
+    np.testing.assert_allclose(
+        np.asarray(batched), np.asarray(looped), atol=1e-6, rtol=1e-6)
+
+    # second-order: grad of a grad-based scalar w.r.t. the points
+    def inner(p):
+        return f(img[0], p, wts[0]).sum()
+
+    def outer(p):
+        return (jax.grad(inner)(p) ** 2).sum()
+
+    gg = jax.grad(outer)(jnp.asarray(pts[0]))
+    assert np.all(np.isfinite(np.asarray(gg)))
