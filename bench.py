@@ -8,35 +8,93 @@ align_corners=True, num_queries=10000, fwd+bwd.
 Baseline = the reference Triton kernel on an RTX 2060: fwd+bwd 22.78 ms
 (reference README.md:19, recorded in BASELINE.md).  ``vs_baseline`` is the
 speedup factor baseline_ms / our_ms (>1 means faster than baseline).
+
+Outage behavior: this machine's TPU tunnel can die such that backend
+attach blocks indefinitely (observed 2026-08-17/18: >25 min hangs).  To
+keep the driver's record diagnosable, the script (a) probes backend
+attach in short-timeout subprocesses with retries BEFORE committing this
+process to jax initialization, (b) prints heartbeat lines to stderr after
+attach and after first compile, and (c) on any abort path emits a JSON
+line with an ``"error"`` key so a dead tunnel is distinguishable from a
+kernel regression.
 """
 
 import json
 import os
+import subprocess
 import sys
 import threading
+import time
 
-# Watchdog BEFORE touching jax: a dead TPU tunnel makes backend attach
-# block indefinitely (observed on this machine: >25 min hangs, then
-# UNAVAILABLE); fail loudly instead of hanging the driver.  Generous
-# bound: attach + ~6 kernel compiles through the remote compile helper
-# normally finish well inside 15 min.
+_T0 = time.monotonic()
 _WATCHDOG_SECS = int(os.environ.get("MSDA_BENCH_WATCHDOG_SECS", "900"))
+_PROBE_SECS = int(os.environ.get("MSDA_BENCH_PROBE_SECS", "180"))
+_PROBE_TRIES = int(os.environ.get("MSDA_BENCH_PROBE_TRIES", "2"))
 
 
-def _watchdog():
-    sys.stderr.write(
-        f"bench.py: no result within {_WATCHDOG_SECS}s "
-        "(TPU backend attach/compile stuck?) — aborting\n"
-    )
+def _hb(msg):
+    sys.stderr.write(f"bench.py[{time.monotonic() - _T0:7.1f}s]: {msg}\n")
     sys.stderr.flush()
+
+
+def _fail(error, detail=""):
+    """Emit a machine-readable failure record and exit nonzero."""
+    print(json.dumps({
+        "metric": "MSDA fwd+bwd latency @10k queries fp32",
+        "value": None,
+        "unit": "ms",
+        "vs_baseline": None,
+        "error": error,
+        "detail": detail,
+        "elapsed_s": round(time.monotonic() - _T0, 1),
+    }), flush=True)
     os._exit(3)
 
 
-# arm only when executed as a script (the driver's invocation) — an
-# importer should not inherit a process-killing timer.  This must happen
-# HERE, before `import jax`: the hang being guarded against is the
-# backend attach inside jax initialization.
+def _probe_attach():
+    """Check TPU attach in a disposable subprocess so a hung tunnel never
+    blocks THIS process.  Returns the backend name, or fails fast with a
+    diagnostic JSON after the retry budget."""
+    code = "import jax; print(jax.default_backend())"
+    for attempt in range(1, _PROBE_TRIES + 1):
+        _hb(f"attach probe {attempt}/{_PROBE_TRIES} "
+            f"(timeout {_PROBE_SECS}s)...")
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=_PROBE_SECS,
+            )
+        except subprocess.TimeoutExpired:
+            _hb("attach probe timed out (tunnel hung)")
+            continue
+        if proc.returncode == 0 and proc.stdout.strip():
+            backend = proc.stdout.strip().splitlines()[-1]
+            _hb(f"attach probe OK: backend={backend}")
+            return backend
+        _hb(f"attach probe rc={proc.returncode}: "
+            f"{(proc.stderr or '').strip()[-300:]}")
+    _fail(
+        "tpu_attach_timeout",
+        f"{_PROBE_TRIES} attach probes failed/timed out at {_PROBE_SECS}s "
+        "each — TPU tunnel dead or backend attach hung; this is an "
+        "environment outage, not a kernel regression",
+    )
+
+
+def _watchdog():
+    _fail(
+        "bench_watchdog_timeout",
+        f"no result within {_WATCHDOG_SECS}s AFTER a successful attach "
+        "probe — compile service stall or kernel-runtime hang",
+    )
+
+
+# The probe and watchdog arm only when executed as a script (the driver's
+# invocation) — an importer should not inherit a process-killing timer.
+# Both must happen HERE, before `import jax`: the hang being guarded
+# against is the backend attach inside jax initialization.
 if __name__ == "__main__":
+    _probe_attach()
     _timer = threading.Timer(_WATCHDOG_SECS, _watchdog)
     _timer.daemon = True  # never outlive a successful run
     _timer.start()
@@ -50,6 +108,8 @@ def main():
     sys.path.insert(0, ".")
     from msda_tpu.ops import multiscale_deformable_attention as msda
     from msda_tpu.utils import timeit_op
+
+    _hb(f"backend attached: {jax.default_backend()}")
 
     shapes = np.array([(64, 64), (32, 32), (16, 16), (8, 8)], np.int32)
     B, H, C, P, L = 4, 8, 32, 4, 4
@@ -72,6 +132,12 @@ def main():
         ig, pg, wg = vjp(og)
         return (img + ig * 1e-12, pts + pg * 1e-12,
                 acc + out[0, 0, 0, 0] * 1e-6)
+
+    # force one compile+execute before timing so the heartbeat separates
+    # "compile stall" from "measurement stall"
+    _warm = jax.jit(step)((img, pts, jnp.float32(0)))
+    jax.block_until_ready(_warm)
+    _hb("first compile + execute done; timing...")
 
     # large n amortizes the per-dispatch tunnel overhead (~30 ms/dispatch
     # measured), matching the reference's warmup=100/rep=1000 methodology

@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# Outage escape hatch: MSDA_FORCE_CPU=1 pins jax to host CPU via the config
+# route — the only pin that works on this machine (the axon TPU plugin
+# ignores the JAX_PLATFORMS env var, and a dead TPU tunnel makes ANY backend
+# enumeration — even jax.devices("cpu") or has_tpu() below — hang on attach).
+if os.environ.get("MSDA_FORCE_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 # f64 support for the interpreter-path tests (runs on CPU devices only; the
 # reference test suite covers torch.float64 the same way —
 # /root/reference/tests/test_msda.py:65-72).
