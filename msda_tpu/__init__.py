@@ -21,13 +21,15 @@ from .ops import (
 from .models import MultiscaleDeformableAttention
 
 # installed-package metadata when available (the reference's mechanism,
-# __init__.py:5), falling back for in-tree use without installation
+# __init__.py:5), falling back for in-tree use without installation; both
+# routes resolve to _version.py (pyproject reads it via hatch's
+# dynamic-version hook), so there is one source of truth
 try:
     from importlib.metadata import version as _pkg_version
 
     __version__ = _pkg_version("msda-tpu")
 except Exception:
-    __version__ = "0.1.0"
+    from ._version import __version__
 
 __all__ = [
     "multiscale_deformable_attention",

@@ -257,7 +257,13 @@ def multiscale_deformable_attention(
             impls compute in f32 and ignore it) — None (default): exact
             2-way bf16 operand splits, ~1e-5 relative; "highest" (or
             ``jax.lax.Precision.HIGHEST``): the MXU's native fp32
-            contraction, ~3e-7 relative.
+            contraction, ~3e-7 relative.  Half-precision inputs ignore
+            ``precision``: bf16 *and* f16 both run a single bf16 MXU pass
+            (the TPU MXU has no f16 mode, so f16 operands lose their 3
+            extra mantissa bits at the contraction; measured error stays
+            within the reference's own half-precision test tolerance of
+            1e-1 — see tests/test_dtypes.py and
+            ``pallas_fwd.resolve_scheme``).
         impl: implementation selector —
             "auto" (default): the Pallas TPU kernels on a TPU backend with
                 concrete ``img_shapes``, the pure-jnp "reference" path

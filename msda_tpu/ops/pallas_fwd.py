@@ -533,8 +533,11 @@ def _pallas_fwd(
 def resolve_scheme(dtype, precision) -> str:
     """MXU contraction scheme per input dtype / requested precision.
 
-    bf16/f16 inputs: single bf16 pass (the inputs already quantize harder
-    than the MXU).  f32 default: "x3" — exact 2-way bf16 splits of both
+    bf16/f16 inputs: single bf16 pass — the TPU MXU has no f16 contraction
+    mode, so f16 operands are rounded to bf16 (3 mantissa bits dropped;
+    still within the reference's 1e-1 half tolerance, tests/test_dtypes.py,
+    and documented at the public ``precision=`` arg).  f32 default: "x3"
+    — exact 2-way bf16 splits of both
     operands, three cross terms (~1e-5 relative; inside the reference fp32
     test tolerances rtol=1e-4/atol=1e-3, test_msda.py:15-27).  f32 highest:
     the MXU's native fp32 contraction (~3e-7 relative, well under the

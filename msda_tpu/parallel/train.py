@@ -23,7 +23,9 @@ __all__ = ["detection_loss", "make_train_step", "replicate_params", "shard_param
 def detection_loss(outputs, targets, matcher: str = "fixed",
                    aux_weight: float = 1.0, enc_weight: float = 1.0,
                    giou_weight: float = 2.0, class_loss: str = "ce",
-                   eos_coef: float = 0.1, l1_weight: float = 5.0):
+                   eos_coef: float = 0.1, l1_weight: float = 5.0,
+                   matcher_rounds: int = 2000,
+                   return_metrics: bool = False):
     """Detection loss (classification + 5 * L1 box + 2 * GIoU — the
     published Deformable-DETR weights, identical to the matching cost's,
     arXiv:2010.04159 §4.1; GIoU per arXiv:1902.09630.  ``giou_weight=0``
@@ -62,20 +64,33 @@ def detection_loss(outputs, targets, matcher: str = "fixed",
     objectness + box loss scaled by ``enc_weight`` (see
     :func:`_enc_proposal_loss`) — without it the proposal heads receive no
     gradient at all, because the decoder consumes detached references.
+
+    With ``return_metrics=True`` the call returns ``(loss, metrics)``
+    where ``metrics["matcher_converged"]`` is a bool scalar — False means
+    at least one auction matching (main or aux head, any batch element)
+    hit its ``matcher_rounds`` budget and fell back to per-target argmin
+    (possibly duplicate assignments).  Training loops using
+    ``matcher="auction"`` should surface this instead of silently
+    accepting a degenerate matching (see parallel.matcher's design note).
+    With the fixed matcher the flag is trivially True.
     """
-    loss = _single_detection_loss(
+    loss, converged = _single_detection_loss(
         outputs, targets, matcher, giou_weight, class_loss, eos_coef,
-        l1_weight=l1_weight)
+        l1_weight=l1_weight, matcher_rounds=matcher_rounds)
     for aux_out in outputs.get("aux", ()):
-        loss = loss + aux_weight * _single_detection_loss(
+        aux_loss, aux_conv = _single_detection_loss(
             aux_out, targets, matcher, giou_weight, class_loss, eos_coef,
-            l1_weight=l1_weight
+            l1_weight=l1_weight, matcher_rounds=matcher_rounds
         )
+        loss = loss + aux_weight * aux_loss
+        converged = converged & aux_conv
     if "enc" in outputs:
         loss = loss + enc_weight * _enc_proposal_loss(
             outputs["enc"], targets, giou_weight=giou_weight,
             l1_weight=l1_weight
         )
+    if return_metrics:
+        return loss, {"matcher_converged": converged}
     return loss
 
 
@@ -126,7 +141,11 @@ def _enc_proposal_loss(enc, targets, giou_weight=2.0, l1_weight=5.0):
 def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0,
                            class_loss="ce", eos_coef=0.1,
                            focal_alpha=0.25, focal_gamma=2.0,
-                           l1_weight=5.0):
+                           l1_weight=5.0, matcher_rounds=2000):
+    """Loss for one prediction head.  Returns ``(loss, converged)`` where
+    ``converged`` is a bool scalar: True unless the auction matcher failed
+    to assign every active target within ``matcher_rounds`` for some batch
+    element (fixed matching is always True)."""
     logits = outputs["logits"]  # [B, N, K]
     boxes = outputs["boxes"]    # [B, N, 4]
     labels = targets["labels"]  # [B, M]
@@ -152,11 +171,14 @@ def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0,
             # masked-out targets must not steal queries: make them cheap
             # everywhere equally (constant column -> arbitrary but harmless)
             cost = jnp.where(mk[None, :] > 0, cost, 0.0)
-            return auction_assignment(cost, mk)
+            return auction_assignment(
+                cost, mk, max_rounds=matcher_rounds, return_state=True)
 
-        q_idx = jax.vmap(match_one)(logits, boxes, labels, tboxes, mask)
+        q_idx, conv = jax.vmap(match_one)(logits, boxes, labels, tboxes, mask)
+        converged = jnp.all(conv)
     elif matcher == "fixed":
         q_idx = jnp.broadcast_to(jnp.arange(M)[None], (B, M))
+        converged = jnp.bool_(True)
     else:
         raise ValueError(f"matcher must be 'fixed' or 'auction', got {matcher!r}")
 
@@ -205,7 +227,7 @@ def _single_detection_loss(outputs, targets, matcher, giou_weight=2.0,
 
         giou = generalized_box_iou(sel_boxes, tboxes)  # [B, M]
         loss = loss + giou_weight * ((1.0 - giou) * mask).sum() / n_real
-    return loss
+    return loss, converged
 
 
 def replicate_params(params, mesh: Mesh):
@@ -268,7 +290,8 @@ def make_train_step(model, optimizer, mesh: Mesh | None, img_shapes,
                     matcher: str = "fixed", aux_weight: float = 1.0,
                     enc_weight: float = 1.0, giou_weight: float = 2.0,
                     class_loss: str = "ce", eos_coef: float = 0.1,
-                    l1_weight: float = 5.0):
+                    l1_weight: float = 5.0, matcher_rounds: int = 2000,
+                    return_metrics: bool = False):
     """Build a jitted train step:
     (params, opt_state, pyramid, targets) -> (params, opt_state, loss).
 
@@ -277,9 +300,16 @@ def make_train_step(model, optimizer, mesh: Mesh | None, img_shapes,
     over dp) and GSPMD inserts the collectives; ``mesh=None`` builds the
     same step single-device.  Every :func:`detection_loss` knob
     (``matcher``/``aux_weight``/``enc_weight``/``giou_weight``/
-    ``class_loss``/``eos_coef``/``l1_weight``) is threaded through, so
-    e.g. ``matcher="auction"`` trains with the DETR bipartite-matching
-    recipe.
+    ``class_loss``/``eos_coef``/``l1_weight``/``matcher_rounds``) is
+    threaded through, so e.g. ``matcher="auction"`` trains with the DETR
+    bipartite-matching recipe.
+
+    ``return_metrics=True`` makes the step return
+    ``(params, opt_state, loss, metrics)`` with
+    ``metrics["matcher_converged"]`` from :func:`detection_loss` — the
+    recommended mode for auction-matched training, so a non-converged
+    (argmin-fallback) matching shows up in the training log instead of
+    silently producing duplicate assignments.
     """
 
     def loss_fn(params, pyramid, targets):
@@ -294,13 +324,22 @@ def make_train_step(model, optimizer, mesh: Mesh | None, img_shapes,
         return detection_loss(outputs, targets, matcher=matcher,
                               aux_weight=aux_weight, enc_weight=enc_weight,
                               giou_weight=giou_weight, class_loss=class_loss,
-                              eos_coef=eos_coef, l1_weight=l1_weight)
+                              eos_coef=eos_coef, l1_weight=l1_weight,
+                              matcher_rounds=matcher_rounds,
+                              return_metrics=return_metrics)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, pyramid, targets):
-        loss, grads = jax.value_and_grad(loss_fn)(params, pyramid, targets)
+        if return_metrics:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, pyramid, targets)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, pyramid, targets)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if return_metrics:
+            return params, opt_state, loss, metrics
         return params, opt_state, loss
 
     return train_step

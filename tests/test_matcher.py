@@ -110,6 +110,83 @@ def test_detection_loss_auction_matches_permuted_targets():
     assert loss_fixed > loss_auction + 0.5
 
 
+def test_detection_loss_surfaces_matcher_nonconvergence():
+    """A deliberately starved round budget (matcher_rounds=1) must be
+    visible to the caller via return_metrics, not silently argmin-matched;
+    an adequate budget reports converged=True on the same instance."""
+    from msda_tpu.parallel.train import detection_loss
+
+    rng = np.random.default_rng(6)
+    B, M, N, K = 2, 8, 24, 5
+    targets = {
+        "labels": jnp.asarray(rng.integers(0, K - 1, (B, M)), jnp.int32),
+        "boxes": jnp.asarray(rng.random((B, M, 4)), jnp.float32),
+        "mask": jnp.ones((B, M), jnp.float32),
+    }
+    outputs = {
+        "logits": jnp.asarray(rng.standard_normal((B, N, K)), jnp.float32),
+        "boxes": jnp.asarray(rng.random((B, N, 4)), jnp.float32),
+    }
+
+    starved = jax.jit(lambda o, t: detection_loss(
+        o, t, matcher="auction", matcher_rounds=1, return_metrics=True))
+    loss, metrics = starved(outputs, targets)
+    assert np.isfinite(float(loss))
+    assert not bool(metrics["matcher_converged"])
+
+    healthy = jax.jit(lambda o, t: detection_loss(
+        o, t, matcher="auction", return_metrics=True))
+    loss, metrics = healthy(outputs, targets)
+    assert np.isfinite(float(loss))
+    assert bool(metrics["matcher_converged"])
+
+    # the fixed matcher is trivially converged, and the default return
+    # stays a bare scalar for backward compatibility
+    fixed = jax.jit(lambda o, t: detection_loss(
+        o, t, matcher="fixed", return_metrics=True))
+    _, metrics = fixed(outputs, targets)
+    assert bool(metrics["matcher_converged"])
+    bare = jax.jit(lambda o, t: detection_loss(o, t))(outputs, targets)
+    assert jnp.ndim(bare) == 0
+
+
+def test_train_step_returns_matcher_metric():
+    """make_train_step(return_metrics=True) surfaces matcher_converged
+    through the jitted step (grad flows via has_aux)."""
+    import optax
+    from msda_tpu.parallel.train import make_train_step
+
+    class TinyHead:
+        """Minimal model.apply-compatible stand-in: params are the raw
+        prediction tensors."""
+
+        def apply(self, params, pyramid, img_shapes):
+            return {"logits": params["logits"], "boxes": params["boxes"]}
+
+    rng = np.random.default_rng(7)
+    B, M, N, K = 2, 4, 12, 5
+    params = {
+        "logits": jnp.asarray(rng.standard_normal((B, N, K)), jnp.float32),
+        "boxes": jnp.asarray(rng.random((B, N, 4)), jnp.float32),
+    }
+    targets = {
+        "labels": jnp.asarray(rng.integers(0, K - 1, (B, M)), jnp.int32),
+        "boxes": jnp.asarray(rng.random((B, M, 4)), jnp.float32),
+        "mask": jnp.ones((B, M), jnp.float32),
+    }
+    optimizer = optax.sgd(1e-3)
+    opt_state = optimizer.init(params)
+    boxes0 = np.asarray(params["boxes"])  # snapshot: params are donated
+
+    step = make_train_step(TinyHead(), optimizer, None, None,
+                           matcher="auction", return_metrics=True)
+    params2, _, loss, metrics = step(params, opt_state, [], targets)
+    assert np.isfinite(float(loss))
+    assert bool(metrics["matcher_converged"])
+    # params actually moved (grads flowed through has_aux)
+    assert float(jnp.abs(params2["boxes"] - boxes0).max()) > 0
+
+
 def test_matching_cost_focal_class_cost():
     """class_cost='focal' ranks a confident-correct query best and a
     confident-wrong query worst, like the softmax cost; invalid kinds
