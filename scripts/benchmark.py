@@ -27,6 +27,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("MSDA_FORCE_CPU") == "1":
+    # outage escape hatch (same contract as tests/conftest.py): pin
+    # jax to host CPU via the config route before any device access
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

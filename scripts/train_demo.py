@@ -25,6 +25,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("MSDA_FORCE_CPU") == "1":
+    # outage escape hatch (same contract as tests/conftest.py): pin
+    # jax to host CPU via the config route before any device access
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -146,13 +152,18 @@ def main():
             opt_state = replicate_params(opt_state, mesh)
         train_step = make_train_step(model, tx, mesh, SHAPES,
                                      matcher="auction",
-                                     class_loss=args.class_loss)
+                                     class_loss=args.class_loss,
+                                     return_metrics=True)
         t0 = time.perf_counter()
         for step in range(start, start + args.steps):
-            params, opt_state, loss = train_step(
+            params, opt_state, loss, metrics = train_step(
                 params, opt_state, pyramid, targets)
-            if (step + 1) % 5 == 0 or step == start:
-                print(f"step {step + 1:4d}  loss {float(loss):.4f}")
+            # surface a non-converged (argmin-fallback) auction matching
+            # instead of silently training on duplicate assignments
+            matched = bool(metrics["matcher_converged"])
+            if (step + 1) % 5 == 0 or step == start or not matched:
+                flag = "" if matched else "  [matcher NOT converged]"
+                print(f"step {step + 1:4d}  loss {float(loss):.4f}{flag}")
             if (step + 1) % args.ckpt_every == 0:
                 ckpt.save(step + 1, params, opt_state)
 
