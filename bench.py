@@ -93,13 +93,23 @@ def _watchdog():
 # invocation) — an importer should not inherit a process-killing timer.
 # Both must happen HERE, before `import jax`: the hang being guarded
 # against is the backend attach inside jax initialization.
+_FORCE_CPU = os.environ.get("MSDA_FORCE_CPU") == "1"
 if __name__ == "__main__":
-    _probe_attach()
+    if not _FORCE_CPU:
+        _probe_attach()
     _timer = threading.Timer(_WATCHDOG_SECS, _watchdog)
     _timer.daemon = True  # never outlive a successful run
     _timer.start()
 
 import jax
+
+if _FORCE_CPU:
+    # outage escape hatch (same contract as tests/conftest.py): pin jax
+    # to host CPU via the config route; the attach probe is skipped since
+    # there is no TPU to probe.  The emitted metric names the impl, so a
+    # CPU-interpreter number cannot be mistaken for the TPU headline.
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -140,8 +150,11 @@ def main():
     _hb("first compile + execute done; timing...")
 
     # large n amortizes the per-dispatch tunnel overhead (~30 ms/dispatch
-    # measured), matching the reference's warmup=100/rep=1000 methodology
-    t = timeit_op(step, (img, pts, jnp.float32(0)), n=150, repeats=3)
+    # measured), matching the reference's warmup=100/rep=1000 methodology;
+    # the XLA-interpreter path is ~35x slower per step, so scale n down to
+    # keep a CPU fallback run inside the watchdog
+    n_iters = 150 if impl == "pallas" else 15
+    t = timeit_op(step, (img, pts, jnp.float32(0)), n=n_iters, repeats=3)
     ms = t * 1e3
     baseline_ms = 22.78
     print(json.dumps({
