@@ -111,26 +111,16 @@ if _FORCE_CPU:
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
-import numpy as np
 
 
 def main():
     sys.path.insert(0, ".")
     from msda_tpu.ops import multiscale_deformable_attention as msda
-    from msda_tpu.utils import timeit_op
+    from msda_tpu.utils import reference_workload, timeit_op
 
     _hb(f"backend attached: {jax.default_backend()}")
 
-    shapes = np.array([(64, 64), (32, 32), (16, 16), (8, 8)], np.int32)
-    B, H, C, P, L = 4, 8, 32, 4, 4
-    I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
-    N = 10000
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    img = jax.random.normal(k1, (B, I, H, C), jnp.float32)
-    pts = jax.random.uniform(k2, (B, N, H, L, P, 2), jnp.float32)
-    wts = jax.nn.softmax(jax.random.normal(k3, (B, N, H, L, P), jnp.float32), -1)
-    og = jax.random.uniform(k4, (B, N, H, C), jnp.float32)
+    img, shapes, pts, wts, og = reference_workload(num_queries=10000)
 
     impl = "pallas" if jax.default_backend() == "tpu" else "reference"
 

@@ -1,6 +1,6 @@
 """Utilities: benchmarking, profiling, and test-data helpers."""
 
-from .bench import timeit_op, device_memory_stats
+from .bench import timeit_op, device_memory_stats, reference_workload
 from .profile import trace, annotate
 from .export import (
     export_fn,
@@ -12,6 +12,7 @@ from .export import (
 __all__ = [
     "timeit_op",
     "device_memory_stats",
+    "reference_workload",
     "trace",
     "annotate",
     "export_fn",

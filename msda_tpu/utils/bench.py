@@ -16,7 +16,39 @@ from typing import Callable
 
 import jax
 
-__all__ = ["timeit_op", "device_memory_stats"]
+__all__ = ["timeit_op", "device_memory_stats", "reference_workload"]
+
+#: the reference benchmark pyramid (reference scripts/benchmark.py:24-31)
+REFERENCE_SHAPES = ((64, 64), (32, 32), (16, 16), (8, 8))
+
+
+def reference_workload(num_queries=10000, dtype=None, shapes=None, seed=0,
+                       batch=4, heads=8, channels=32, points=4):
+    """Construct the reference benchmark workload (one definition for
+    bench.py, scripts/benchmark.py, autotune.py, memory_report.py and
+    capture_trace.py — the headline config must mean the same tensors
+    everywhere).
+
+    Returns ``(img, shapes, pts, wts, og)`` with ``shapes`` an int32
+    ``[L, 2]`` numpy array; defaults are the reference's headline point
+    (B=4, H=8, C=32, P=4, 4-level 64x64 pyramid —
+    reference scripts/benchmark.py:24-31).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    dtype = jnp.float32 if dtype is None else jnp.dtype(dtype)
+    shapes = np.asarray(
+        REFERENCE_SHAPES if shapes is None else shapes, np.int32)
+    B, H, C, P, L = batch, heads, channels, points, len(shapes)
+    I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
+    img = jax.random.normal(k1, (B, I, H, C), dtype)
+    pts = jax.random.uniform(k2, (B, num_queries, H, L, P, 2), dtype)
+    wts = jax.nn.softmax(
+        jax.random.normal(k3, (B, num_queries, H, L, P), dtype), -1)
+    og = jax.random.uniform(k4, (B, num_queries, H, C), dtype)
+    return img, shapes, pts, wts, og
 
 
 def timeit_op(

@@ -27,7 +27,6 @@ if os.environ.get("MSDA_FORCE_CPU") == "1":
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
-import numpy as np
 
 
 def main():
@@ -40,19 +39,11 @@ def main():
 
     import msda_tpu.ops.pallas_fwd as pf
     import msda_tpu.ops.pallas_bwd as pb
-    from msda_tpu.utils import timeit_op
+    from msda_tpu.utils import reference_workload, timeit_op
 
-    shapes = np.array([(64, 64), (32, 32), (16, 16), (8, 8)], np.int32)
-    B, H, C, P, L = 4, 8, 32, 4, 4
-    I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
-    N = args.queries
     dtype = jnp.dtype(args.dtype)
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    img = jax.random.normal(k1, (B, I, H, C), dtype)
-    pts = jax.random.uniform(k2, (B, N, H, L, P, 2), dtype)
-    wts = jax.nn.softmax(jax.random.normal(k3, (B, N, H, L, P), dtype), -1)
-    og = jax.random.uniform(k4, (B, N, H, C), dtype)
+    img, shapes, pts, wts, og = reference_workload(
+        num_queries=args.queries, dtype=dtype)
 
     def time_fwd():
         pf._pallas_fwd.clear_cache()

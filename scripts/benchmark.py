@@ -72,14 +72,11 @@ BASELINES = {  # reference Triton numbers on RTX 2060 (README.md:18-19)
 
 
 def make_data(n, dtype=jnp.float32, seed=0):
-    key = jax.random.PRNGKey(seed)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    img = jax.random.normal(k1, (B, I, H, C), dtype)
-    pts = jax.random.uniform(k2, (B, n, H, L, P, 2), dtype)
-    wts = jax.nn.softmax(
-        jax.random.normal(k3, (B, n, H, L, P), dtype), axis=-1
-    )
-    og = jax.random.uniform(k4, (B, n, H, C), dtype)
+    from msda_tpu.utils import reference_workload
+
+    img, _, pts, wts, og = reference_workload(
+        num_queries=n, dtype=dtype, shapes=SHAPES, seed=seed,
+        batch=B, heads=H, channels=C, points=P)
     return img, pts, wts, og
 
 

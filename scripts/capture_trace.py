@@ -29,7 +29,6 @@ if os.environ.get("MSDA_FORCE_CPU") == "1":
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
-import numpy as np
 
 
 def main():
@@ -44,24 +43,16 @@ def main():
     args = ap.parse_args()
 
     from msda_tpu.ops import multiscale_deformable_attention as msda
-    from msda_tpu.utils import profile
+    from msda_tpu.utils import profile, reference_workload
 
     impl = args.impl or (
         "pallas" if jax.default_backend() == "tpu" else "reference")
     out = args.out or (
         f"outputs/traces/{args.mode}_{args.dtype}_{impl}")
 
-    shapes = np.array([(64, 64), (32, 32), (16, 16), (8, 8)], np.int32)
-    B, H, C, P, L = 4, 8, 32, 4, 4
-    I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
-    n = args.queries
     dtype = jnp.dtype(args.dtype)
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    img = jax.random.normal(k1, (B, I, H, C), dtype)
-    pts = jax.random.uniform(k2, (B, n, H, L, P, 2), dtype)
-    wts = jax.nn.softmax(jax.random.normal(k3, (B, n, H, L, P), dtype), -1)
-    og = jax.random.uniform(k4, (B, n, H, C), dtype)
+    img, shapes, pts, wts, og = reference_workload(
+        num_queries=args.queries, dtype=dtype)
 
     if args.mode == "fwd":
         def step(carry):

@@ -40,26 +40,29 @@ if os.environ.get("MSDA_FORCE_CPU") == "1":
 import jax.numpy as jnp
 import numpy as np
 
-_DTYPE_BYTES = {
-    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
-    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
-    "c64": 8, "c128": 16,
+_DTYPE_BITS = {
+    "pred": 8, "s2": 2, "u2": 2, "s4": 4, "u4": 4, "s8": 8, "u8": 8,
+    "s16": 16, "u16": 16, "bf16": 16, "f16": 16,
+    "f8e4m3": 8, "f8e5m2": 8, "f8e4m3fn": 8, "f8e4m3b11fnuz": 8,
+    "f8e5m2fnuz": 8, "f8e4m3fnuz": 8, "f8e8m0fnu": 8, "f4e2m1fn": 4,
+    "s32": 32, "u32": 32, "f32": 32, "s64": 64, "u64": 64, "f64": 64,
+    "c64": 64, "c128": 128,
 }
 
-_SHAPE_RE = re.compile(r"\b(pred|[suf]\d+|bf16|c64|c128)\[([\d,]*)\]")
-_DEF_RE = re.compile(r"^\s+(%?[\w.\-]+) = (.*)$")
+_SHAPE_RE = re.compile(r"\b(pred|bf16|c64|c128|f8e\w+|f4e\w+|[suf]\d+)\[([\d,]*)\]")
+_DEF_RE = re.compile(r"^\s+(?:ROOT )?(%?[\w.\-]+) = (.*)$")
 _REF_RE = re.compile(r"%[\w.\-]+")
 
 
 def _shape_bytes(text: str) -> int:
-    total = 0
+    total_bits = 0
     for dt, dims in _SHAPE_RE.findall(text):
         n = 1
         if dims:
             for d in dims.split(","):
                 n *= int(d)
-        total += n * _DTYPE_BYTES.get(dt, 4)
-    return total
+        total_bits += n * _DTYPE_BITS.get(dt, 32)
+    return (total_bits + 7) // 8
 
 
 def liveness_report(hlo_text: str, top: int = 15):
@@ -93,7 +96,13 @@ def liveness_report(hlo_text: str, top: int = 15):
         for ref in _REF_RE.findall(rhs):
             if ref in by_name:
                 last_use[ref] = idx
-        shape_part = rhs.split(" ", 1)[0]
+        # the output shape is the leading token, OR the full parenthesized
+        # tuple for multi-output instructions (fusions etc.) — a naive
+        # first-space split would count only the first tuple leaf
+        if rhs.startswith("(") and ")" in rhs:
+            shape_part = rhs[:rhs.index(")") + 1]
+        else:
+            shape_part = rhs.split(" ", 1)[0]
         size = _shape_bytes(shape_part)
         nm = name if name.startswith("%") else "%" + name
         by_name[nm] = (size, idx, shape_part)
@@ -135,18 +144,12 @@ def main():
     args = ap.parse_args()
 
     from msda_tpu.ops import multiscale_deformable_attention as msda
+    from msda_tpu.utils import reference_workload
 
-    shapes = PYRAMIDS[args.pyramid]
-    B, H, C, P, L = 4, 8, 32, 4, len(shapes)
-    I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
     n = args.queries
     dtype = jnp.dtype(args.dtype)
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    img = jax.random.normal(k1, (B, I, H, C), dtype)
-    pts = jax.random.uniform(k2, (B, n, H, L, P, 2), dtype)
-    wts = jax.nn.softmax(jax.random.normal(k3, (B, n, H, L, P), dtype), -1)
-    og = jax.random.uniform(k4, (B, n, H, C), dtype)
+    img, shapes, pts, wts, og = reference_workload(
+        num_queries=n, dtype=dtype, shapes=PYRAMIDS[args.pyramid])
 
     if args.fwd_only:
         @jax.jit

@@ -158,10 +158,13 @@ def main():
         for step in range(start, start + args.steps):
             params, opt_state, loss, metrics = train_step(
                 params, opt_state, pyramid, targets)
-            # surface a non-converged (argmin-fallback) auction matching
-            # instead of silently training on duplicate assignments
-            matched = bool(metrics["matcher_converged"])
-            if (step + 1) % 5 == 0 or step == start or not matched:
+            if (step + 1) % 5 == 0 or step == start:
+                # surface a non-converged (argmin-fallback) auction
+                # matching instead of silently training on duplicate
+                # assignments.  Pulled only on logging steps: a per-step
+                # bool() would block on a device->host sync every
+                # iteration and serialize async dispatch.
+                matched = bool(metrics["matcher_converged"])
                 flag = "" if matched else "  [matcher NOT converged]"
                 print(f"step {step + 1:4d}  loss {float(loss):.4f}{flag}")
             if (step + 1) % args.ckpt_every == 0:
