@@ -297,6 +297,9 @@ def test_sharded_train_step_with_auction_matcher(mesh):
             for k, v in targets.items()
         }
         step = make_train_step(model, optimizer, mesh, shapes,
-                               matcher="auction")
-        _, _, loss = step(params, opt_state, pyr, tgt)
+                               matcher="auction", return_metrics=True)
+        _, _, loss, metrics = step(params, opt_state, pyr, tgt)
     assert np.isfinite(float(loss))
+    # the matcher-convergence metric survives GSPMD (the per-batch flags
+    # are vmapped over the dp-sharded batch, then all-reduced by jnp.all)
+    assert bool(metrics["matcher_converged"])
