@@ -28,7 +28,10 @@ import time
 
 _T0 = time.monotonic()
 _WATCHDOG_SECS = int(os.environ.get("MSDA_BENCH_WATCHDOG_SECS", "900"))
-_PROBE_SECS = int(os.environ.get("MSDA_BENCH_PROBE_SECS", "180"))
+# healthy attach takes ~20-40 s on this machine; 120 s is generous while
+# keeping the worst case (2 hung probes + a full CPU fallback measurement)
+# inside a ~15 min driver budget
+_PROBE_SECS = int(os.environ.get("MSDA_BENCH_PROBE_SECS", "120"))
 _PROBE_TRIES = int(os.environ.get("MSDA_BENCH_PROBE_TRIES", "2"))
 
 
@@ -53,8 +56,9 @@ def _fail(error, detail=""):
 
 def _probe_attach():
     """Check TPU attach in a disposable subprocess so a hung tunnel never
-    blocks THIS process.  Returns the backend name, or fails fast with a
-    diagnostic JSON after the retry budget."""
+    blocks THIS process.  Returns the backend name, or ``None`` after the
+    retry budget (caller falls back to a CPU-pinned measurement so the
+    driver still records a number plus the outage diagnosis)."""
     code = "import jax; print(jax.default_backend())"
     for attempt in range(1, _PROBE_TRIES + 1):
         _hb(f"attach probe {attempt}/{_PROBE_TRIES} "
@@ -73,12 +77,13 @@ def _probe_attach():
             return backend
         _hb(f"attach probe rc={proc.returncode}: "
             f"{(proc.stderr or '').strip()[-300:]}")
-    _fail(
-        "tpu_attach_timeout",
+    _hb(
         f"{_PROBE_TRIES} attach probes failed/timed out at {_PROBE_SECS}s "
-        "each — TPU tunnel dead or backend attach hung; this is an "
-        "environment outage, not a kernel regression",
+        "each — TPU tunnel dead or backend attach hung; falling back to a "
+        "CPU-pinned interpreter measurement so the round still records a "
+        "number (clearly labeled) alongside the outage diagnosis"
     )
+    return None
 
 
 def _watchdog():
@@ -94,9 +99,15 @@ def _watchdog():
 # Both must happen HERE, before `import jax`: the hang being guarded
 # against is the backend attach inside jax initialization.
 _FORCE_CPU = os.environ.get("MSDA_FORCE_CPU") == "1"
+_OUTAGE = ""
 if __name__ == "__main__":
-    if not _FORCE_CPU:
-        _probe_attach()
+    if not _FORCE_CPU and _probe_attach() is None:
+        _FORCE_CPU = True
+        _OUTAGE = (
+            "tpu_attach_timeout: TPU tunnel dead or backend attach hung "
+            "(environment outage, not a kernel regression); value below is "
+            "the CPU-interpreter fallback, NOT the TPU headline"
+        )
     _timer = threading.Timer(_WATCHDOG_SECS, _watchdog)
     _timer.daemon = True  # never outlive a successful run
     _timer.start()
@@ -105,9 +116,10 @@ import jax
 
 if _FORCE_CPU:
     # outage escape hatch (same contract as tests/conftest.py): pin jax
-    # to host CPU via the config route; the attach probe is skipped since
-    # there is no TPU to probe.  The emitted metric names the impl, so a
-    # CPU-interpreter number cannot be mistaken for the TPU headline.
+    # to host CPU via the config route — verified to keep the hanging TPU
+    # client from being constructed even mid-outage.  The emitted metric
+    # names the impl, so a CPU-interpreter number cannot be mistaken for
+    # the TPU headline.
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
@@ -144,15 +156,20 @@ def main():
     # the XLA-interpreter path is ~35x slower per step, so scale n down to
     # keep a CPU fallback run inside the watchdog
     n_iters = 150 if impl == "pallas" else 15
-    t = timeit_op(step, (img, pts, jnp.float32(0)), n=n_iters, repeats=3)
+    repeats = 3 if impl == "pallas" else 2
+    t = timeit_op(step, (img, pts, jnp.float32(0)), n=n_iters,
+                  repeats=repeats)
     ms = t * 1e3
     baseline_ms = 22.78
-    print(json.dumps({
+    record = {
         "metric": f"MSDA fwd+bwd latency @10k queries fp32 ({impl})",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / ms, 4),
-    }))
+    }
+    if _OUTAGE:
+        record["error"] = _OUTAGE
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
