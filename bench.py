@@ -89,8 +89,9 @@ def _probe_attach():
 def _watchdog():
     _fail(
         "bench_watchdog_timeout",
-        f"no result within {_WATCHDOG_SECS}s AFTER a successful attach "
-        "probe — compile service stall or kernel-runtime hang",
+        f"no result within ~{_WATCHDOG_SECS}s total wall time — compile "
+        "service stall or kernel-runtime hang (attach itself succeeded "
+        "or fell back to CPU)",
     )
 
 
@@ -108,7 +109,11 @@ if __name__ == "__main__":
             "(environment outage, not a kernel regression); value below is "
             "the CPU-interpreter fallback, NOT the TPU headline"
         )
-    _timer = threading.Timer(_WATCHDOG_SECS, _watchdog)
+    # deduct the probes' elapsed time so the TOTAL wall budget stays
+    # ~_WATCHDOG_SECS: a driver hard-kill must never beat the watchdog to
+    # the punch, or the diagnostic JSON this script guarantees is lost
+    _remaining = max(60.0, _WATCHDOG_SECS - (time.monotonic() - _T0))
+    _timer = threading.Timer(_remaining, _watchdog)
     _timer.daemon = True  # never outlive a successful run
     _timer.start()
 
@@ -145,11 +150,10 @@ def main():
         return (img + ig * 1e-12, pts + pg * 1e-12,
                 acc + out[0, 0, 0, 0] * 1e-6)
 
-    # force one compile+execute before timing so the heartbeat separates
-    # "compile stall" from "measurement stall"
-    _warm = jax.jit(step)((img, pts, jnp.float32(0)))
-    jax.block_until_ready(_warm)
-    _hb("first compile + execute done; timing...")
+    # no standalone warm-up jit: timeit_op compiles (and warms) its own two
+    # scan-wrapped executables, and a third distinct compile through the
+    # remote compile helper costs real minutes for nothing
+    _hb("timing (includes the 2 scan compiles)...")
 
     # large n amortizes the per-dispatch tunnel overhead (~30 ms/dispatch
     # measured), matching the reference's warmup=100/rep=1000 methodology;
@@ -159,6 +163,7 @@ def main():
     repeats = 3 if impl == "pallas" else 2
     t = timeit_op(step, (img, pts, jnp.float32(0)), n=n_iters,
                   repeats=repeats)
+    _hb("timing done")
     ms = t * 1e3
     baseline_ms = 22.78
     record = {

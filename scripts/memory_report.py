@@ -52,6 +52,10 @@ _DTYPE_BITS = {
 _SHAPE_RE = re.compile(r"\b(pred|bf16|c64|c128|f8e\w+|f4e\w+|[suf]\d+)\[([\d,]*)\]")
 _DEF_RE = re.compile(r"^\s+(?:ROOT )?(%?[\w.\-]+) = (.*)$")
 _REF_RE = re.compile(r"%[\w.\-]+")
+# bare-name HLO dumps (HloPrintOptions without '%' prefixes): candidate
+# operand tokens; matched against the defined-buffer set so opcode /
+# attribute words are ignored
+_BARE_TOKEN_RE = re.compile(r"[\w.\-]+")
 
 
 def _shape_bytes(text: str) -> int:
@@ -84,18 +88,29 @@ def liveness_report(hlo_text: str, top: int = 15):
             break
         body.append(line)
 
+    # '%'-prefixed dumps identify refs unambiguously; bare-name dumps
+    # (HloPrintOptions without the prefix) need candidate tokens filtered
+    # against the defined-buffer set (opcode/attribute words fall out
+    # because they are never defined as buffers)
+    percent_style = any("%" in line for line in body)
+
     defs = []  # (name, size_bytes, def_idx, shape_snippet)
     last_use = {}
     by_name = {}
+    any_use = False
     for idx, line in enumerate(body):
         m = _DEF_RE.match(line)
         if not m:
             continue
         name, rhs = m.group(1), m.group(2)
-        # uses: every %ref on the RHS after the shape/op part
-        for ref in _REF_RE.findall(rhs):
+        # uses: every ref to an already-defined buffer on the RHS
+        tokens = (_REF_RE.findall(rhs) if percent_style
+                  else _BARE_TOKEN_RE.findall(rhs))
+        for tok in tokens:
+            ref = tok if tok.startswith("%") else "%" + tok
             if ref in by_name:
                 last_use[ref] = idx
+                any_use = True
         # the output shape is the leading token, OR the full parenthesized
         # tuple for multi-output instructions (fusions etc.) — a naive
         # first-space split would count only the first tuple leaf
@@ -108,6 +123,15 @@ def liveness_report(hlo_text: str, top: int = 15):
         by_name[nm] = (size, idx, shape_part)
         defs.append((nm, size, idx, shape_part))
         last_use.setdefault(nm, idx)
+
+    if len(defs) > 5 and not any_use:
+        # every buffer would die at its own def — that is a parser/format
+        # mismatch, and silently reporting it would massively underestimate
+        # the arena peak while looking authoritative
+        raise ValueError(
+            "HLO liveness parse matched no operand uses across "
+            f"{len(defs)} instructions — unrecognized HLO print format"
+        )
 
     # sweep: buffer live on [def_idx, last_use]
     events = np.zeros(len(body) + 1, np.int64)

@@ -56,3 +56,28 @@ def test_liveness_peak_and_residents():
 def test_liveness_requires_entry():
     with pytest.raises(ValueError, match="ENTRY"):
         liveness_report("HloModule empty\n")
+
+
+def test_liveness_bare_name_hlo():
+    """HloPrintOptions without '%' prefixes must parse equivalently, with
+    opcode/attribute words NOT mistaken for buffer uses."""
+    bare = _SYNTHETIC_HLO.replace("%", "")
+    peak_p, _, res_p = liveness_report(_SYNTHETIC_HLO, top=10)
+    peak_b, _, res_b = liveness_report(bare, top=10)
+    assert peak_b == peak_p
+    assert [(s, nm, sh) for s, nm, sh in res_b] == res_p
+
+
+def test_liveness_rejects_unparseable_uses():
+    """A format whose operand refs never match must raise, not silently
+    report every buffer as dying at its own def (a massive underestimate
+    that would look authoritative)."""
+    # operand refs in an unrecognized numeric-id style that shares no
+    # token with any defined buffer name
+    weird = "\n".join(
+        ["HloModule m, is_scheduled=true", "", "ENTRY main () -> f32[8] {"]
+        + [f"  v{i} = f32[8]{{0}} add(#{i-1}, #{i-2})" for i in range(2, 10)]
+        + ["}"]
+    )
+    with pytest.raises(ValueError, match="no operand uses"):
+        liveness_report(weird)
