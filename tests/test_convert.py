@@ -75,7 +75,10 @@ def test_each_projection_matches_torch_linear():
         x = rng.standard_normal((5, w.shape[1])).astype(np.float32)
         want = F.linear(torch.from_numpy(x), w, b).numpy()
         dense = nn.Dense(w.shape[0])
-        got = dense.apply({"params": converted[name]}, jnp.asarray(x))
+        # layout test, not a precision test: pin full-f32 matmuls so it
+        # also passes on TPU (whose default matmul precision is bf16)
+        with jax.default_matmul_precision("highest"):
+            got = dense.apply({"params": converted[name]}, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
@@ -158,8 +161,9 @@ def test_hf_module_parity_with_converted_weights():
     )
     params = attention_params_from_hf(
         hf.state_dict(), num_heads=Hh, num_levels=Ll, num_points=Pp)
-    got = np.asarray(jax.jit(
-        lambda p, i, q, r: model.apply(p, i, jnp.asarray(shapes), q, r)
-    )(params, jnp.asarray(img), jnp.asarray(queries), jnp.asarray(refs)))
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(jax.jit(
+            lambda p, i, q, r: model.apply(p, i, jnp.asarray(shapes), q, r)
+        )(params, jnp.asarray(img), jnp.asarray(queries), jnp.asarray(refs)))
 
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
