@@ -270,7 +270,11 @@ def multiscale_deformable_attention(
                 otherwise;
             "pallas": the Pallas TPU kernels (raises for traced
                 ``img_shapes`` — the kernels specialize on the pyramid
-                geometry);
+                geometry).  First-order differentiable only, like the
+                reference's ``@once_differentiable`` autograd binding
+                (frontend.py:130-131): the custom_vjp backward is itself
+                a Mosaic kernel with no JVP rule, so grad-of-grad /
+                ``jacfwd`` must use "reference" or "fused";
             "fused": the XLA patch-gather formulation (portable, slow on
                 TPU at scale — gather-bound);
             "reference": the pure-jnp interpreter (any backend, f64-capable

@@ -26,16 +26,43 @@ def _spec(x):
     return jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
 
 
-def export_fn(fn, *example_args, platforms=None) -> bytes:
+def export_fn(fn, *example_args, platforms=None,
+              ignore_forward_compatibility=None) -> bytes:
     """Serialize ``jit(fn)`` specialized to ``example_args``' shapes/dtypes.
 
     ``example_args`` may be arrays or ShapeDtypeStructs (any pytree of
     them); only shapes/dtypes are read.  ``platforms`` optionally lowers
     for an explicit platform list (e.g. ``("tpu",)``) instead of the
     current default backend.
+
+    ``ignore_forward_compatibility``: ``jax.export`` normally lowers
+    custom calls through a forward-compatibility path so the artifact
+    keeps loading on newer runtimes.  On this jax (0.9.0), that path
+    mis-lowers Pallas TPU kernels when ``jax_enable_x64`` is on: index
+    vectors inside the Mosaic payload widen to i64, which the TPU
+    compiler rejects (``Check failed: bitwidth_ <= 32``) when the
+    artifact is compiled — the normal (non-export) lowering of the same
+    kernel is pure i32.  Default ``None`` auto-enables the flag exactly
+    for that case (TPU target + x64 enabled); pass ``False`` to force
+    the forward-compatible lowering anyway, or ``True`` to skip it for
+    any platform (e.g. same-process serving, where forward
+    compatibility buys nothing).
     """
     specs = jax.tree.map(_spec, example_args)
-    exp = jax.export.export(jax.jit(fn), platforms=platforms)(*specs)
+    if ignore_forward_compatibility is None:
+        targets = platforms or (jax.default_backend(),)
+        ignore_forward_compatibility = (
+            "tpu" in targets and jax.config.jax_enable_x64)
+    if ignore_forward_compatibility:
+        prev = jax.config.jax_export_ignore_forward_compatibility
+        jax.config.update("jax_export_ignore_forward_compatibility", True)
+        try:
+            exp = jax.export.export(jax.jit(fn), platforms=platforms)(*specs)
+        finally:
+            jax.config.update(
+                "jax_export_ignore_forward_compatibility", prev)
+    else:
+        exp = jax.export.export(jax.jit(fn), platforms=platforms)(*specs)
     return exp.serialize()
 
 

@@ -32,7 +32,9 @@ def test_export_op_round_trip(cpu_device):
         return msda(img, shapes, pts, wts, "border", False, impl="reference")
 
     with jax.default_device(cpu_device):
-        blob = export_fn(fn, img, pts, wts)
+        # explicit platform: on a TPU machine the default lowering platform
+        # is "tpu", which a cpu-pinned call site would then reject
+        blob = export_fn(fn, img, pts, wts, platforms=("cpu",))
         got = load_exported(blob)(img, pts, wts)
         want = jax.jit(fn)(img, pts, wts)
     np.testing.assert_allclose(
@@ -63,7 +65,7 @@ def test_export_detector_with_postprocess(cpu_device, tmp_path):
 
     with jax.default_device(cpu_device):
         params = model.init(jax.random.PRNGKey(0), pyramid, shapes)
-        blob = export_fn(serve, params, *pyramid)
+        blob = export_fn(serve, params, *pyramid, platforms=("cpu",))
         path = tmp_path / "detector.stablehlo"
         save_exported(blob, path)
         got = load_exported_file(path)(params, *pyramid)
@@ -94,25 +96,10 @@ def test_export_pallas_op_round_trip_tpu():
     def fn(img, pts, wts):
         return msda(img, shapes, pts, wts, "border", False, impl="pallas")
 
-    try:
-        blob = export_fn(fn, img, pts, wts, platforms=("tpu",))
-    except ValueError as e:
-        if "custom_call" not in str(e):
-            raise
-        # Mosaic's custom call is outside jax.export's forward-compat
-        # allowlist on this jax version: exporting for the *current*
-        # process is still sound (same runtime deserializes), so disable
-        # that one check explicitly.
-        from jax.export import DisabledSafetyCheck
-
-        specs = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-            (img, pts, wts))
-        blob = jax.export.export(
-            jax.jit(fn), platforms=("tpu",),
-            disabled_checks=[DisabledSafetyCheck.custom_call(
-                "tpu_custom_call")],
-        )(*specs).serialize()
+    # export_fn auto-bypasses the forward-compat lowering here: under the
+    # suite's jax_enable_x64=True it mis-lowers the Mosaic payload to i64
+    # index vectors that the TPU compiler rejects (see utils/export.py).
+    blob = export_fn(fn, img, pts, wts, platforms=("tpu",))
 
     got = load_exported(blob)(img, pts, wts)
     want = jax.jit(fn)(img, pts, wts)

@@ -147,9 +147,17 @@ def test_functional_transforms_compose():
     np.testing.assert_allclose(
         np.asarray(batched), np.asarray(looped), atol=1e-6, rtol=1e-6)
 
-    # second-order: grad of a grad-based scalar w.r.t. the points
+    # second-order: grad of a grad-based scalar w.r.t. the points.  Pinned
+    # to the XLA impl: the Pallas path is first-order only (its custom_vjp
+    # bwd is a Mosaic kernel with no JVP rule), matching the reference's
+    # @once_differentiable contract (frontend.py:130-131); higher-order AD
+    # is the XLA impls' extension.
+    def f_ref(i, p, w):
+        return multiscale_deformable_attention(
+            i, shapes, p, w, "border", True, impl="reference")
+
     def inner(p):
-        return f(img[0], p, wts[0]).sum()
+        return f_ref(img[0], p, wts[0]).sum()
 
     def outer(p):
         return (jax.grad(inner)(p) ** 2).sum()

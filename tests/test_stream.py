@@ -160,7 +160,9 @@ def test_big_pyramid_streams_on_tpu_bf16():
     og = rng.random((B, N, H, C)).astype(np.float32)
 
     data16 = (img.astype(jnp.bfloat16), shapes,
-              pts.astype(jnp.bfloat16), wts.astype(jnp.bfloat16), og)
+              pts.astype(jnp.bfloat16), wts.astype(jnp.bfloat16),
+              # cotangent must match the bf16 primal output dtype
+              og.astype(jnp.bfloat16))
     got = _run("pallas", data16, "border", False)
     want = _run("reference", (img, shapes, pts, wts, og), "border", False)
     # bf16 inputs: tolerance dominated by the input quantization (~2^-8)
