@@ -17,11 +17,19 @@ import pytest
 from msda_tpu.ops import multiscale_deformable_attention as msda
 from oracle import torch_msda_oracle, torch_msda_oracle_grads
 
-# multi-compile (every case is a distinct geometry): keep out of the
-# fast lane
-pytestmark = pytest.mark.slow
-
 N_CASES = 12
+# first seeds run in the fast lane so every CI run covers several draws of
+# the ragged-geometry space (VERDICT r3 item 8); the rest stay slow
+# (every case is a distinct compile)
+N_FAST = 3
+
+
+def fuzz_seeds(n_cases, n_fast):
+    return [
+        seed if seed < n_fast
+        else pytest.param(seed, marks=pytest.mark.slow)
+        for seed in range(n_cases)
+    ]
 
 
 def _random_case(seed):
@@ -48,17 +56,20 @@ def _random_case(seed):
     return img, shapes, pts, wts, og, padding_mode, align_corners
 
 
-@pytest.mark.parametrize("seed", range(N_CASES))
+@pytest.mark.parametrize("seed", fuzz_seeds(N_CASES, N_FAST))
 @pytest.mark.parametrize("impl", ["reference", "fused"])
-def test_random_geometry_matches_oracle(impl, seed):
+def test_random_geometry_matches_oracle(impl, seed, cpu_device):
     img, shapes, pts, wts, og, padding_mode, align_corners = _random_case(
         seed)
 
     def f(i, p, w):
         return msda(i, shapes, p, w, padding_mode, align_corners, impl=impl)
 
-    out, vjp = jax.vjp(f, img, pts, wts)
-    ig, pg, wg = vjp(og)
+    # CPU-pinned (as documented above): the sweep's distinct geometries
+    # must not each trigger a remote TPU compile in the fast lane
+    with jax.default_device(cpu_device):
+        out, vjp = jax.vjp(f, img, pts, wts)
+        ig, pg, wg = vjp(og)
 
     want_out, want_ig, want_pg, want_wg = torch_msda_oracle_grads(
         img, shapes, pts, wts, og, padding_mode, align_corners)

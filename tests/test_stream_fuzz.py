@@ -14,10 +14,10 @@ import pytest
 
 from msda_tpu.ops import pallas_stream as ps
 from oracle import torch_msda_oracle_grads
-
-pytestmark = pytest.mark.slow
+from test_fuzz import fuzz_seeds
 
 N_CASES = 6
+N_FAST = 3  # seeds 0-2 run in every CI pass (VERDICT r3 item 8)
 
 
 def _random_case(seed):
@@ -44,7 +44,7 @@ def _random_case(seed):
     return img, shapes, pts, wts, og, padding_mode, align_corners
 
 
-@pytest.mark.parametrize("seed", range(N_CASES))
+@pytest.mark.parametrize("seed", fuzz_seeds(N_CASES, N_FAST))
 def test_stream_random_geometry_matches_oracle(monkeypatch, seed):
     img, shapes, pts, wts, og, padding_mode, align_corners = _random_case(
         seed)
