@@ -101,11 +101,30 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_nblk(n: int) -> int:
+def _pick_nblk(n: int, shapes=None, C: int | None = None,
+               scheme: str | None = None) -> int:
     """Query-block width: double N_BLOCK when it does not increase the
-    padded query count (fewer grid steps for free at large N)."""
+    padded query count (fewer grid steps for free at large N).
+
+    With the pyramid geometry provided, the doubling is additionally
+    VMEM-gated: the A-slab bands scale with nblk, and on large pyramids
+    (wide levels -> tall bands) the doubled block can push the resident
+    kernel past the VMEM budget even though the single-width block fits —
+    observed as a Mosaic compile OOM at the 256-base pyramid @10k
+    queries.  Downshifting keeps such pyramids on the (faster) resident
+    path instead of tipping them into streaming.
+    """
     base = _round_up(n, N_BLOCK)
-    return 2 * N_BLOCK if _round_up(n, 2 * N_BLOCK) == base else N_BLOCK
+    if _round_up(n, 2 * N_BLOCK) != base:
+        return N_BLOCK
+    if shapes is not None:
+        from . import pallas_stream
+
+        if pallas_stream._fwd_resident_bytes(
+                shapes, C, 2 * N_BLOCK, scheme
+        ) > pallas_stream.RESIDENT_VMEM_BUDGET:
+            return N_BLOCK
+    return 2 * N_BLOCK
 
 
 def level_layout(shapes):
@@ -465,7 +484,7 @@ def _pallas_fwd(
     level_dims = tuple((int(h), int(w)) for h, w in shapes)
 
     geom = prepare_inputs(sampling_points, attention_weights)
-    nblk = _pick_nblk(N)
+    nblk = _pick_nblk(N, shapes, C, scheme)
     n_blocks = _round_up(N, nblk) // nblk
     # NO query padding: the geometry arrays go to the kernel at their true
     # N and the ragged tail of the last block is masked in-kernel
@@ -577,7 +596,8 @@ def pallas_multiscale_deformable_attention(
 
         if pallas_stream.use_streaming_fwd(
                 shapes, img.shape[3], scheme,
-                _pick_nblk(sampling_points.shape[1])):
+                _pick_nblk(sampling_points.shape[1], shapes,
+                           img.shape[3], scheme)):
             # pyramid too large for VMEM residency: banded streaming path
             return pallas_stream.stream_fwd(
                 img, sampling_points, attention_weights,

@@ -85,13 +85,21 @@ def _fwd_resident_bytes(shapes, C, nblk, scheme):
 
     offs, pitches, ipad = level_layout(shapes)
     ebytes = {"x3": 2 * C * 2, "bf16": C * 2, "highest": C * 4}[scheme]
-    e = ipad * ebytes
+    # Pallas double-buffers every input window (2 buffering levels per
+    # operand — measured from an OOM dump at the 256-base pyramid, where
+    # the old single-copy estimate admitted a config the Mosaic allocator
+    # rejected); E is the only window that scales with the pyramid.
+    e = ipad * ebytes * 2
     max_rows = max(
         level_yb(int(h), int(p)) * int(p)
         for (h, _), p in zip(shapes, pitches)
     )
-    # f32 slab + split halves, x2 for scheduling slack
-    slab = max_rows * nblk * (4 + (2 if scheme == "x3" else 0)) * 2
+    # f32 slab + split halves, x3 for bands in flight: Mosaic pipelines
+    # consecutive band builds, so ~2 full band slabs (plus their bf16
+    # split halves under x3) are live at once — the observed 256-base
+    # @nblk=2048 OOM (>100 MB actual vs 100 MB limit) back-solves to
+    # about this factor on top of the double-buffered E window
+    slab = max_rows * nblk * (4 + (2 if scheme == "x3" else 0)) * 3
     out = C * nblk * 4 * 2
     return e + slab + out
 

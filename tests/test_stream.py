@@ -35,6 +35,29 @@ def test_streaming_dispatch_thresholds():
     assert ps.use_streaming_bwd(big, 32, "x3", 256)
 
 
+def test_block_width_is_vmem_gated():
+    """The doubled query block must never push a resident config past the
+    VMEM budget (regression: 256-base pyramid @10k queries compiled the
+    resident forward at nblk=2048 and OOMed Mosaic's allocator; nblk=1024
+    fits and runs)."""
+    from msda_tpu.ops.pallas_fwd import _pick_nblk
+
+    small = np.array([(64, 64), (32, 32), (16, 16), (8, 8)], np.int64)
+    big = BIG_SHAPES.astype(np.int64)
+    # reference pyramid: doubling stays free and under budget
+    assert _pick_nblk(10000, small, 32, "x3") == 2048
+    # big pyramid: doubling would exceed the budget -> downshift...
+    assert _pick_nblk(10000, big, 32, "x3") == 1024
+    # ...and the chosen width itself stays resident (the fwd E window is
+    # only ~22 MB double-buffered; the slab is what scales with nblk)
+    assert not ps.use_streaming_fwd(big, 32, "x3", 1024)
+    for shapes in (small, big):
+        for scheme in ("x3", "bf16", "highest"):
+            nblk = _pick_nblk(10000, shapes, 32, scheme)
+            assert (ps._fwd_resident_bytes(shapes, 32, nblk, scheme)
+                    <= ps.RESIDENT_VMEM_BUDGET)
+
+
 def _run(impl, data, padding_mode, align_corners, interpret=None):
     img, shapes, pts, wts, og = data
 
