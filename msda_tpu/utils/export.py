@@ -15,11 +15,19 @@ TPU custom calls, so export them from a TPU process for TPU serving.
 from __future__ import annotations
 
 import os
+import threading
+import warnings
 
 import jax
 import jax.numpy as jnp
 
 __all__ = ["export_fn", "load_exported", "save_exported", "load_exported_file"]
+
+# jax exposes jax_export_ignore_forward_compatibility only as a
+# process-global config (no scoped context manager as of jax 0.9.0);
+# serialize exports that flip it so a concurrent export from another
+# thread can never be lowered with the flag unexpectedly set
+_EXPORT_CONFIG_LOCK = threading.Lock()
 
 
 def _spec(x):
@@ -43,24 +51,43 @@ def export_fn(fn, *example_args, platforms=None,
     compiler rejects (``Check failed: bitwidth_ <= 32``) when the
     artifact is compiled — the normal (non-export) lowering of the same
     kernel is pure i32.  Default ``None`` auto-enables the flag exactly
-    for that case (TPU target + x64 enabled); pass ``False`` to force
-    the forward-compatible lowering anyway, or ``True`` to skip it for
-    any platform (e.g. same-process serving, where forward
-    compatibility buys nothing).
+    for that case (TPU target + x64 enabled) and emits a
+    ``UserWarning``, since the artifact then loses the
+    load-on-newer-runtime guarantee; pass ``False`` to force the
+    forward-compatible lowering anyway, or ``True`` to skip it for any
+    platform (e.g. same-process serving, where forward compatibility
+    buys nothing).  Flipping the (process-global) flag is guarded by a
+    module lock, so concurrent ``export_fn`` calls from other threads
+    are serialized rather than lowered with the flag unexpectedly set.
     """
     specs = jax.tree.map(_spec, example_args)
     if ignore_forward_compatibility is None:
         targets = platforms or (jax.default_backend(),)
         ignore_forward_compatibility = (
             "tpu" in targets and jax.config.jax_enable_x64)
+        if ignore_forward_compatibility:
+            # the artifact loses the load-on-newer-runtime guarantee; a
+            # serving pipeline exporting from an x64 process must hear
+            # about it at the call site, not discover it at load time
+            warnings.warn(
+                "export_fn: disabling jax.export forward-compatible "
+                "lowering (TPU target with jax_enable_x64 on — the "
+                "compat path mis-lowers Pallas TPU kernels to i64 "
+                "indices on this jax); the artifact may not load on "
+                "newer runtimes. Pass ignore_forward_compatibility="
+                "False to force the compat lowering.",
+                stacklevel=2,
+            )
     if ignore_forward_compatibility:
-        prev = jax.config.jax_export_ignore_forward_compatibility
-        jax.config.update("jax_export_ignore_forward_compatibility", True)
-        try:
-            exp = jax.export.export(jax.jit(fn), platforms=platforms)(*specs)
-        finally:
-            jax.config.update(
-                "jax_export_ignore_forward_compatibility", prev)
+        with _EXPORT_CONFIG_LOCK:
+            prev = jax.config.jax_export_ignore_forward_compatibility
+            jax.config.update("jax_export_ignore_forward_compatibility", True)
+            try:
+                exp = jax.export.export(
+                    jax.jit(fn), platforms=platforms)(*specs)
+            finally:
+                jax.config.update(
+                    "jax_export_ignore_forward_compatibility", prev)
     else:
         exp = jax.export.export(jax.jit(fn), platforms=platforms)(*specs)
     return exp.serialize()

@@ -146,6 +146,16 @@ def _memory_probe(impl, n, dtype=jnp.float32):
         return (stats1["peak_bytes_in_use"] - stats0["bytes_in_use"]) / 1e6
 
 
+def _force_stream():
+    """Route every pallas dispatch through the streamed kernels."""
+    from msda_tpu.ops import pallas_stream as ps
+
+    ps.RESIDENT_VMEM_BUDGET = 0
+
+
+_FORCED_STREAM = False
+
+
 def bench_memory(impl, n, dtype=jnp.float32):
     """Run the memory probe in a fresh subprocess (see _memory_probe)."""
     import subprocess
@@ -153,7 +163,8 @@ def bench_memory(impl, n, dtype=jnp.float32):
     pyr = next(k for k, v in PYRAMIDS.items() if v is SHAPES)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--memory-probe",
-         impl, str(n), jnp.dtype(dtype).name, pyr],
+         impl, str(n), jnp.dtype(dtype).name, pyr,
+         "1" if _FORCED_STREAM else "0"],
         capture_output=True, text=True, timeout=1200,
     )
     for line in proc.stdout.splitlines():
@@ -171,18 +182,30 @@ def main():
                     help="also run the pallas path in bfloat16")
     ap.add_argument("--no-memory", action="store_true",
                     help="skip the (subprocess-based) memory probes")
-    ap.add_argument("--memory-probe", nargs=4,
-                    metavar=("IMPL", "N", "DT", "PYR"),
+    ap.add_argument("--memory-probe", nargs=5,
+                    metavar=("IMPL", "N", "DT", "PYR", "STREAM"),
                     help=argparse.SUPPRESS)  # internal, fresh-process probe
     ap.add_argument("--pyramid", choices=list(PYRAMIDS), default="ref",
-                    help="'big' benchmarks the streamed large-pyramid "
-                         "kernel path (256x256 base level)")
+                    help="'big' benchmarks the large-pyramid geometry "
+                         "(256x256 base level; the fwd still fits VMEM "
+                         "residency there — the bwd streams)")
+    ap.add_argument("--force-stream", action="store_true",
+                    help="force impl='pallas' onto the streamed kernels "
+                         "regardless of VMEM fit (captures the streamed "
+                         "path's cost at geometries the resident kernels "
+                         "would otherwise serve)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.out is None:
-        args.out = ("outputs/benchmark_results.csv" if args.pyramid == "ref"
-                    else f"outputs/benchmark_{args.pyramid}.csv")
+        suffix = "_stream" if args.force_stream else ""
+        args.out = ("outputs/benchmark_results.csv"
+                    if args.pyramid == "ref" and not args.force_stream
+                    else f"outputs/benchmark_{args.pyramid}{suffix}.csv")
     set_pyramid(args.pyramid)
+    if args.force_stream:
+        global _FORCED_STREAM
+        _FORCED_STREAM = True
+        _force_stream()
 
     if args.impls is None:
         # decided without touching jax in this process (the memory probes
@@ -195,8 +218,10 @@ def main():
         )
 
     if args.memory_probe:
-        impl, n, dt, pyr = args.memory_probe
+        impl, n, dt, pyr, stream = args.memory_probe
         set_pyramid(pyr)
+        if stream == "1":
+            _force_stream()
         mem = _memory_probe(impl, int(n), jnp.dtype(dt))
         print(f"MEMORY_MB {mem}")
         return

@@ -199,6 +199,20 @@ def main():
               f"argument {ma.argument_size_in_bytes/1e6:.1f} MB  "
               f"[metric temp+output = "
               f"{(ma.temp_size_in_bytes+ma.output_size_in_bytes)/1e6:.1f} MB]")
+        # apples-to-apples with the reference's 166 MB anchor: torch's
+        # max_memory_allocated delta (/root/reference/scripts/
+        # benchmark.py:156-172) counts everything allocated inside the
+        # measured window — which at the benchmark point is ~149 MB of
+        # out / out_grad / input-grad buffers plus only ~17 MB of kernel
+        # transients (the Triton kernel materializes nothing but its
+        # outputs).  The XLA metric above counts the out_grad as an
+        # *argument* instead, so the two comparable splits are:
+        # outputs-side  repo output_size  vs  torch's ~149 MB window
+        # allocations; transient-side  repo temp arena  vs  torch's
+        # ~17 MB remainder.
+        print(f"transient-only arena (outputs excluded, the share "
+              f"comparable to the reference delta's non-output remainder): "
+              f"{ma.temp_size_in_bytes/1e6:.1f} MB")
     else:
         print("memory_analysis: unavailable on this backend")
 
