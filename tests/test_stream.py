@@ -182,16 +182,28 @@ def test_big_pyramid_streams_on_tpu_bf16():
     wts = (e / e.sum(axis=(-1, -2), keepdims=True)).astype(np.float32)
     og = rng.random((B, N, H, C)).astype(np.float32)
 
-    data16 = (img.astype(jnp.bfloat16), shapes,
-              pts.astype(jnp.bfloat16), wts.astype(jnp.bfloat16),
+    # Compare at the SAME quantized inputs (test_dtypes.py:103-111 pattern):
+    # bf16 points carry ~2^-8 quantization, which on a 256-px level moves the
+    # sample by ~half a pixel — comparing against the unquantized reference
+    # would measure input quantization (O(1) on white noise), not the kernel.
+    imgq = np.asarray(jnp.asarray(img, jnp.bfloat16), np.float32)
+    ptsq = np.asarray(jnp.asarray(pts, jnp.bfloat16), np.float32)
+    wtsq = np.asarray(jnp.asarray(wts, jnp.bfloat16), np.float32)
+    ogq = np.asarray(jnp.asarray(og, jnp.bfloat16), np.float32)
+    data16 = (imgq.astype(jnp.bfloat16), shapes,
+              ptsq.astype(jnp.bfloat16), wtsq.astype(jnp.bfloat16),
               # cotangent must match the bf16 primal output dtype
-              og.astype(jnp.bfloat16))
+              ogq.astype(jnp.bfloat16))
     got = _run("pallas", data16, "border", False)
-    want = _run("reference", (img, shapes, pts, wts, og), "border", False)
-    # bf16 inputs: tolerance dominated by the input quantization (~2^-8)
+    want = _run("reference", (imgq, shapes, ptsq, wtsq, ogq), "border", False)
+    # identical quantized inputs: residual error is the bf16 MXU contraction
+    # plus the final bf16 output cast (~2^-8 relative); grads additionally
+    # see the bilinear derivative's cell-boundary discontinuity, so compare
+    # them at the reference half tolerance (cf. test_dtypes.py:112-117)
     names = ("out", "img_grad", "pts_grad", "wts_grad")
-    for g, w, name in zip(got, want, names):
+    tols = (0.04, 0.15, 0.15, 0.15)
+    for g, w, name, tol in zip(got, want, names, tols):
         scale = max(1.0, float(np.abs(w).max()))
-        np.testing.assert_allclose(
-            g.astype(np.float32), w, atol=0.04 * scale, rtol=0.05,
-            err_msg=f"big-pyramid bf16 {name}")
+        err = float(np.abs(g.astype(np.float32) - w).max())
+        assert err <= tol * scale, (
+            f"big-pyramid bf16 {name}: err={err} scale={scale}")
