@@ -239,6 +239,19 @@ def main():
                 print(f"mem probe {impl} {jnp.dtype(dtype).name} N={n}: "
                       f"{mems[(impl, dtype, n)]:.1f} MB", flush=True)
 
+    # incremental CSV: each row is flushed as soon as it is measured, so a
+    # wall-clock bound (timeout ...) that kills a long sweep mid-flight
+    # still leaves a loadable partial artifact (the compile cache makes a
+    # resumed run cheap, but the already-paid measurements should never be
+    # lost with it)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    fieldnames = ["impl", "dtype", "num_queries",
+                  "fwd_ms", "fwdbwd_ms", "peak_mem_mb"]
+    csv_f = open(args.out, "w", newline="")
+    csv_w = csv.DictWriter(csv_f, fieldnames=fieldnames)
+    csv_w.writeheader()
+    csv_f.flush()
+
     rows = []
     for impl, dtype in configs:
         dt = jnp.dtype(dtype).name
@@ -248,14 +261,21 @@ def main():
             # iteration count so one row stays under ~a minute
             slow = impl == "reference" and (
                 n >= 900 or args.pyramid != "ref")
+            # the big pyramid's per-iteration cost is ~16x the reference
+            # pyramid's (dense fold pays O(ipad)); mid-tier iteration
+            # counts keep the sweep's wall clock bounded while the slowest
+            # row still averages >= 25 measured steps x 4 repeats
+            mid = args.pyramid != "ref" and not slow
             t_f = bench_fwd(impl, n, dtype,
-                            iters=20 if slow else 150) * 1e3
+                            iters=20 if slow else (50 if mid else 150)) * 1e3
             t_fb = bench_fwdbwd(impl, n, dtype,
-                                iters=10 if slow else 100) * 1e3
+                                iters=10 if slow else (25 if mid else 100)) * 1e3
             mem = mems.get((impl, dtype, n), float("nan"))
             rows.append(dict(impl=impl, dtype=dt, num_queries=n,
                              fwd_ms=round(t_f, 3), fwdbwd_ms=round(t_fb, 3),
                              peak_mem_mb=round(mem, 1)))
+            csv_w.writerow(rows[-1])
+            csv_f.flush()
             base_f = (BASELINES.get(("fwd", n))
                       if args.pyramid == "ref" else None)
             base_fb = BASELINES.get(("fwdbwd", n))
@@ -267,11 +287,7 @@ def main():
                   f"fwd+bwd {t_fb:8.3f} ms, mem {mem:8.1f} MB{extra}",
                   flush=True)
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
+    csv_f.close()
     print(f"wrote {args.out}")
 
 
