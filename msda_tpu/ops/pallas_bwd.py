@@ -233,17 +233,22 @@ def _bwd_kernel(
     jax.jit,
     static_argnames=(
         "shapes_tuple", "padding_mode", "align_corners", "scheme", "interpret",
+        "nblk",
     ),
 )
 def _pallas_bwd(
     img, sampling_points, attention_weights, out_grad,
     *, shapes_tuple, padding_mode, align_corners, scheme, interpret,
+    nblk=None,
 ):
     B, I, H, C = img.shape  # noqa: E741
     _, N, _, L, P, _ = sampling_points.shape
     shapes = np.asarray(shapes_tuple, np.int64)
     level_offs, pitches, ipad = level_layout(shapes)
     level_dims = tuple((int(h), int(w)) for h, w in shapes)
+
+    if nblk is None:
+        nblk = N_BLOCK
 
     geom = prepare_inputs(sampling_points, attention_weights)
     # geometry and out_grad go to the kernel UNPADDED; the last grid
@@ -258,17 +263,17 @@ def _pallas_bwd(
     # [E_h|E_h|E_l|E_l] in VMEM for the K=4C G-dot (_g_dot)
     e_cat, ecdim = build_e_cat(img, shapes, scheme)
 
-    grid = (B * H, _round_up(N, N_BLOCK) // N_BLOCK)
+    grid = (B * H, _round_up(N, nblk) // nblk)
 
     def pt_spec():
         return pl.BlockSpec(
-            (1, 1, L, P, N_BLOCK),
+            (1, 1, L, P, nblk),
             lambda bh, nb: (bh // H, bh % H, 0, 0, nb),
             memory_space=pltpu.VMEM,
         )
 
     og_spec = pl.BlockSpec(
-        (1, 1, N_BLOCK, C),
+        (1, 1, nblk, C),
         lambda bh, nb: (bh // H, bh % H, nb, 0),
         memory_space=pltpu.VMEM,
     )
@@ -278,7 +283,7 @@ def _pallas_bwd(
         memory_space=pltpu.VMEM,
     )
     gxy_spec = pl.BlockSpec(
-        (1, 1, L, P, 2, N_BLOCK),
+        (1, 1, L, P, 2, nblk),
         lambda bh, nb: (bh // H, bh % H, 0, 0, 0, nb),
         memory_space=pltpu.VMEM,
     )
@@ -296,7 +301,7 @@ def _pallas_bwd(
         ipad=ipad,
         C=C,
         n=N,
-        nblk=N_BLOCK,
+        nblk=nblk,
         scheme=scheme,
         padding_mode=padding_mode,
         align_corners=bool(align_corners),
@@ -344,6 +349,45 @@ def _pallas_bwd(
     )
 
 
+def _route_bwd_nblk(img, sampling_points, attention_weights, out_grad,
+                    shapes, shapes_tuple, padding_mode, align_corners,
+                    scheme, nblk0):
+    """Fail-soft resident routing for the backward (see pallas_fwd's
+    ``_route_resident``): pick a compilable query block, or None to
+    stream.  Probes only in the margin band near the VMEM budget."""
+    from . import pallas_stream
+    from .pallas_fwd import _route_resident, _fwd_nblk_ladder
+
+    if jax.default_backend() != "tpu":
+        return nblk0
+    budget = pallas_stream.RESIDENT_VMEM_BUDGET
+    C = img.shape[3]
+    for cand in _fwd_nblk_ladder(nblk0):
+        est = pallas_stream._bwd_resident_bytes(shapes, C, cand, scheme)
+        if est > budget:
+            continue
+        key = ("bwd", shapes_tuple, img.shape, str(img.dtype),
+               sampling_points.shape, padding_mode, bool(align_corners),
+               scheme, cand)
+
+        def lower_fn(cand=cand):
+            _pallas_bwd.lower(
+                jax.ShapeDtypeStruct(img.shape, img.dtype),
+                jax.ShapeDtypeStruct(sampling_points.shape,
+                                     sampling_points.dtype),
+                jax.ShapeDtypeStruct(attention_weights.shape,
+                                     attention_weights.dtype),
+                jax.ShapeDtypeStruct(out_grad.shape, out_grad.dtype),
+                shapes_tuple=shapes_tuple, padding_mode=padding_mode,
+                align_corners=bool(align_corners), scheme=scheme,
+                interpret=False, nblk=cand,
+            ).compile()
+
+        if _route_resident("bwd", key, est, budget, lower_fn):
+            return cand
+    return None
+
+
 def pallas_msda_bwd(
     img, img_shapes, sampling_points, attention_weights, out_grad,
     padding_mode: str = "border", align_corners: bool = False,
@@ -362,8 +406,17 @@ def pallas_msda_bwd(
     with jax.enable_x64(False):
         from . import pallas_stream
 
+        nblk = N_BLOCK
         if pallas_stream.use_streaming_bwd(
-                shapes, img.shape[3], scheme, N_BLOCK):
+                shapes, img.shape[3], scheme, nblk):
+            nblk = None
+        elif not interpret:
+            # fail-soft: verify the footprint model's admission near the
+            # budget boundary; downshift nblk / stream on a Mosaic OOM
+            nblk = _route_bwd_nblk(
+                img, sampling_points, attention_weights, out_grad, shapes,
+                shapes_tuple, padding_mode, align_corners, scheme, nblk)
+        if nblk is None:
             # pyramid too large for VMEM residency: banded streaming path
             return pallas_stream.stream_bwd(
                 img, sampling_points, attention_weights, out_grad,
@@ -380,4 +433,5 @@ def pallas_msda_bwd(
             align_corners=bool(align_corners),
             scheme=scheme,
             interpret=bool(interpret),
+            nblk=nblk,
         )

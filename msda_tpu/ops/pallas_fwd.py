@@ -58,6 +58,7 @@ independent of the global ``jax_enable_x64`` flag.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +73,8 @@ __all__ = [
     "build_e_matrix",
     "resolve_scheme",
 ]
+
+_logger = logging.getLogger("msda_tpu.ops")
 
 # queries per grid step (lane width).  ``_pick_nblk`` doubles this when it
 # does not increase query padding (fewer grid steps, measured ~4% faster
@@ -471,11 +474,13 @@ def _fwd_kernel(
     jax.jit,
     static_argnames=(
         "shapes_tuple", "padding_mode", "align_corners", "scheme", "interpret",
+        "nblk",
     ),
 )
 def _pallas_fwd(
     img, sampling_points, attention_weights,
     *, shapes_tuple, padding_mode, align_corners, scheme, interpret,
+    nblk=None,
 ):
     B, I, H, C = img.shape  # noqa: E741
     _, N, _, L, P, _ = sampling_points.shape
@@ -484,7 +489,8 @@ def _pallas_fwd(
     level_dims = tuple((int(h), int(w)) for h, w in shapes)
 
     geom = prepare_inputs(sampling_points, attention_weights)
-    nblk = _pick_nblk(N, shapes, C, scheme)
+    if nblk is None:
+        nblk = _pick_nblk(N, shapes, C, scheme)
     n_blocks = _round_up(N, nblk) // nblk
     # NO query padding: the geometry arrays go to the kernel at their true
     # N and the ragged tail of the last block is masked in-kernel
@@ -569,6 +575,130 @@ def resolve_scheme(dtype, precision) -> str:
     return "x3"
 
 
+# ---------------------------------------------------------------------------
+# Fail-soft VMEM routing (VERDICT r4 ask #4)
+#
+# ``_fwd_resident_bytes``/``_bwd_resident_bytes`` (pallas_stream) are
+# hand-fit VMEM footprint models; a Mosaic allocator change or an untested
+# pyramid geometry can make them admit a config the allocator rejects —
+# historically a *hard compile failure* through the public op (the exact
+# bug fixed once in round 4, commit 8a17ff8).  The router below keeps the
+# model as the first guess but, when the estimate lands in the risky upper
+# half of the budget, verifies the resident kernel actually compiles via a
+# cheap one-time AOT probe (abstract shapes only — no data, no execution)
+# and downshifts on a Mosaic VMEM OOM: halve the query block, then fall
+# back to the streamed kernels.  Decisions are cached per geometry, so the
+# probe compile is paid once per process per config; XLA's compile cache
+# makes the subsequent real compile cheap.
+
+#: probe decisions per (kind, backend, geometry/config) key
+_ROUTE_CACHE: dict = {}
+
+#: resident-kernel estimates at or below this fraction of the VMEM budget
+#: skip the probe compile entirely (the footprint model has never been
+#: observed off by 2x; the round-4 OOM was a ~1.4x underestimate)
+_PROBE_MARGIN = 0.5
+
+#: smallest query block the downshift ladder tries before streaming
+_MIN_NBLK = 128
+
+
+def _mosaic_vmem_oom(e: Exception) -> bool:
+    """True for Mosaic/XLA 'kernel does not fit in VMEM' compile errors.
+
+    Matched permissively on message text — the observed failure (256-base
+    pyramid @ nblk=2048, round 4) surfaces as RESOURCE_EXHAUSTED with a
+    'Attempting to allocate ... vmem ... limit' scoped-allocator dump;
+    other Mosaic versions phrase it as 'exceeds the vmem limit'.
+    """
+    s = str(e).lower()
+    if "vmem" in s and any(
+            t in s for t in ("exceed", "limit", "alloc", "fit")):
+        return True
+    return "resource_exhausted" in s or "ran out of memory" in s
+
+
+def _route_resident(kind, cache_key, est_bytes, budget, lower_fn):
+    """One fail-soft routing decision: is this resident config compilable?
+
+    Returns True (use it), False (downshift).  ``lower_fn`` must AOT-lower
+    and compile the resident kernel for the candidate config; it is only
+    invoked when ``est_bytes`` is in the upper-half margin band of the
+    budget (the zone where the footprint model has historically erred).
+    Non-VMEM compile errors propagate — they are real bugs, not routing
+    inputs.
+    """
+    hit = _ROUTE_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    if est_bytes <= budget * _PROBE_MARGIN:
+        _ROUTE_CACHE[cache_key] = True
+        return True
+    try:
+        lower_fn()
+        ok = True
+    except Exception as e:  # noqa: BLE001 — filtered below
+        if not _mosaic_vmem_oom(e):
+            raise
+        _logger.warning(
+            "msda %s resident kernel failed VMEM compile at %s "
+            "(footprint model estimated %.1f MB <= budget %.1f MB); "
+            "downshifting. Mosaic said: %s",
+            kind, cache_key, est_bytes / 2**20, budget / 2**20,
+            str(e).splitlines()[0][:200])
+        ok = False
+    _ROUTE_CACHE[cache_key] = ok
+    return ok
+
+
+def _fwd_nblk_ladder(nblk0: int) -> list:
+    out = []
+    n = nblk0
+    while n >= _MIN_NBLK:
+        out.append(n)
+        n //= 2
+    return out
+
+
+def _route_fwd_nblk(img, sampling_points, attention_weights,
+                    shapes, shapes_tuple, padding_mode, align_corners,
+                    scheme, nblk0):
+    """Pick a compilable resident query block, or None to stream."""
+    from . import pallas_stream
+
+    if jax.default_backend() != "tpu":
+        # interpret / CPU runs never hit the Mosaic allocator
+        return nblk0
+    budget = pallas_stream.RESIDENT_VMEM_BUDGET
+    C = img.shape[3]
+    for cand in _fwd_nblk_ladder(nblk0):
+        est = pallas_stream._fwd_resident_bytes(shapes, C, cand, scheme)
+        if est > budget:
+            continue
+        key = ("fwd", shapes_tuple, img.shape, str(img.dtype),
+               sampling_points.shape, padding_mode, bool(align_corners),
+               scheme, cand)
+
+        def lower_fn(cand=cand):
+            _pallas_fwd.lower(
+                jax.ShapeDtypeStruct(img.shape, img.dtype),
+                jax.ShapeDtypeStruct(sampling_points.shape,
+                                     sampling_points.dtype),
+                jax.ShapeDtypeStruct(attention_weights.shape,
+                                     attention_weights.dtype),
+                shapes_tuple=shapes_tuple, padding_mode=padding_mode,
+                align_corners=bool(align_corners), scheme=scheme,
+                interpret=False, nblk=cand,
+            ).compile()
+
+        if _route_resident("fwd", key, est, budget, lower_fn):
+            return cand
+    _logger.warning(
+        "msda fwd: no resident query block fits VMEM at pyramid %s; "
+        "falling back to the streamed kernels", shapes_tuple)
+    return None
+
+
 def pallas_multiscale_deformable_attention(
     img, img_shapes, sampling_points, attention_weights,
     padding_mode: str = "border", align_corners: bool = False,
@@ -594,10 +724,18 @@ def pallas_multiscale_deformable_attention(
     with jax.enable_x64(False):
         from . import pallas_stream
 
+        nblk = _pick_nblk(sampling_points.shape[1], shapes,
+                          img.shape[3], scheme)
         if pallas_stream.use_streaming_fwd(
-                shapes, img.shape[3], scheme,
-                _pick_nblk(sampling_points.shape[1], shapes,
-                           img.shape[3], scheme)):
+                shapes, img.shape[3], scheme, nblk):
+            nblk = None
+        elif not interpret:
+            # fail-soft: verify the footprint model's admission near the
+            # budget boundary; downshift nblk / stream on a Mosaic OOM
+            nblk = _route_fwd_nblk(
+                img, sampling_points, attention_weights, shapes,
+                shapes_tuple, padding_mode, align_corners, scheme, nblk)
+        if nblk is None:
             # pyramid too large for VMEM residency: banded streaming path
             return pallas_stream.stream_fwd(
                 img, sampling_points, attention_weights,
@@ -614,4 +752,5 @@ def pallas_multiscale_deformable_attention(
             align_corners=bool(align_corners),
             scheme=scheme,
             interpret=bool(interpret),
+            nblk=nblk,
         )

@@ -33,6 +33,21 @@ if os.environ.get("MSDA_FORCE_CPU") == "1":
     # jax to host CPU via the config route before any device access
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache (same contract as tests/conftest.py): the
+# sweep's wall clock is dominated by distinct jit/Pallas compiles — and the
+# memory probes each run in a FRESH subprocess (see bench_memory), so
+# without a disk cache every probe re-pays its compiles from scratch
+# (measured ~6 min/probe at the big pyramid; ~seconds warm).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "MSDA_TPU_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -195,6 +210,11 @@ def main():
                          "path's cost at geometries the resident kernels "
                          "would otherwise serve)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip (impl, dtype, N) rows already present in "
+                         "--out or its .partial — lets a retry loop survive "
+                         "this machine's intermittent TPU-tunnel hangs "
+                         "without re-paying measured rows")
     args = ap.parse_args()
     if args.out is None:
         suffix = "_stream" if args.force_stream else ""
@@ -230,64 +250,93 @@ def main():
     if args.bf16:
         configs.append(("pallas", jnp.bfloat16))
 
+    # rows already measured by an earlier (killed/partial) run
+    done = {}
+    if args.resume:
+        for path in (args.out, args.out + ".partial"):
+            if not os.path.exists(path):
+                continue
+            with open(path, newline="") as f:
+                for row in csv.DictReader(f):
+                    key = (row["impl"], row["dtype"],
+                           int(row["num_queries"]))
+                    done.setdefault(key, row)
+        if done:
+            print(f"resume: {len(done)} rows already measured", flush=True)
+
     # memory probes first — before this process touches the device
     mems = {}
     if not args.no_memory:
         for impl, dtype in configs:
             for n in args.queries:
+                if (impl, jnp.dtype(dtype).name, n) in done:
+                    continue
                 mems[(impl, dtype, n)] = bench_memory(impl, n, dtype)
                 print(f"mem probe {impl} {jnp.dtype(dtype).name} N={n}: "
                       f"{mems[(impl, dtype, n)]:.1f} MB", flush=True)
 
-    # incremental CSV: each row is flushed as soon as it is measured, so a
-    # wall-clock bound (timeout ...) that kills a long sweep mid-flight
-    # still leaves a loadable partial artifact (the compile cache makes a
-    # resumed run cheap, but the already-paid measurements should never be
-    # lost with it)
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # incremental CSV: each row is flushed (to args.out + ".partial") as
+    # soon as it is measured, so a wall-clock bound (timeout ...) that
+    # kills a long sweep mid-flight still leaves a loadable partial
+    # artifact — while the previous COMPLETE args.out is preserved until
+    # the new sweep finishes (atomic os.replace at the end)
+    if os.path.dirname(args.out):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    partial = args.out + ".partial"
     fieldnames = ["impl", "dtype", "num_queries",
                   "fwd_ms", "fwdbwd_ms", "peak_mem_mb"]
-    csv_f = open(args.out, "w", newline="")
-    csv_w = csv.DictWriter(csv_f, fieldnames=fieldnames)
-    csv_w.writeheader()
-    csv_f.flush()
+    with open(partial, "w", newline="") as csv_f:
+        csv_w = csv.DictWriter(csv_f, fieldnames=fieldnames)
+        csv_w.writeheader()
+        csv_f.flush()
 
-    rows = []
-    for impl, dtype in configs:
-        dt = jnp.dtype(dtype).name
-        for n in args.queries:
-            # the XLA-gather reference is ~30x slower at large N (and the
-            # big pyramid multiplies its gather table 16x); scale the
-            # iteration count so one row stays under ~a minute
-            slow = impl == "reference" and (
-                n >= 900 or args.pyramid != "ref")
-            # the big pyramid's per-iteration cost is ~16x the reference
-            # pyramid's (dense fold pays O(ipad)); mid-tier iteration
-            # counts keep the sweep's wall clock bounded while the slowest
-            # row still averages >= 25 measured steps x 4 repeats
-            mid = args.pyramid != "ref" and not slow
-            t_f = bench_fwd(impl, n, dtype,
-                            iters=20 if slow else (50 if mid else 150)) * 1e3
-            t_fb = bench_fwdbwd(impl, n, dtype,
-                                iters=10 if slow else (25 if mid else 100)) * 1e3
-            mem = mems.get((impl, dtype, n), float("nan"))
-            rows.append(dict(impl=impl, dtype=dt, num_queries=n,
-                             fwd_ms=round(t_f, 3), fwdbwd_ms=round(t_fb, 3),
-                             peak_mem_mb=round(mem, 1)))
-            csv_w.writerow(rows[-1])
-            csv_f.flush()
-            base_f = (BASELINES.get(("fwd", n))
-                      if args.pyramid == "ref" else None)
-            base_fb = BASELINES.get(("fwdbwd", n))
-            extra = ""
-            if base_f:
-                extra = (f"  [baseline fwd {base_f} ms -> {base_f/t_f:.2f}x; "
-                         f"fwd+bwd {base_fb} ms -> {base_fb/t_fb:.2f}x]")
-            print(f"{impl:10s} {dt:8s} N={n:6d}: fwd {t_f:8.3f} ms, "
-                  f"fwd+bwd {t_fb:8.3f} ms, mem {mem:8.1f} MB{extra}",
-                  flush=True)
+        for impl, dtype in configs:
+            dt = jnp.dtype(dtype).name
+            for n in args.queries:
+                if (impl, dt, n) in done:
+                    row = dict(done[(impl, dt, n)])
+                    csv_w.writerow(row)
+                    csv_f.flush()
+                    print(f"{impl:10s} {dt:8s} N={n:6d}: resumed "
+                          f"(fwd {row['fwd_ms']} ms, "
+                          f"fwd+bwd {row['fwdbwd_ms']} ms)", flush=True)
+                    continue
+                # the XLA-gather reference is ~30x slower at large N (and
+                # the big pyramid multiplies its gather table 16x); scale
+                # the iteration count so one row stays under ~a minute
+                slow = impl == "reference" and (
+                    n >= 900 or args.pyramid != "ref")
+                # the big pyramid's per-iteration cost is ~16x the
+                # reference pyramid's (dense fold pays O(ipad)); mid-tier
+                # iteration counts keep the sweep's wall clock bounded
+                # while the slowest row still averages >= 25 measured
+                # steps x 4 repeats
+                mid = args.pyramid != "ref" and not slow
+                t_f = bench_fwd(
+                    impl, n, dtype,
+                    iters=20 if slow else (50 if mid else 150)) * 1e3
+                t_fb = bench_fwdbwd(
+                    impl, n, dtype,
+                    iters=10 if slow else (25 if mid else 100)) * 1e3
+                mem = mems.get((impl, dtype, n), float("nan"))
+                csv_w.writerow(dict(
+                    impl=impl, dtype=dt, num_queries=n,
+                    fwd_ms=round(t_f, 3), fwdbwd_ms=round(t_fb, 3),
+                    peak_mem_mb=round(mem, 1)))
+                csv_f.flush()
+                base_f = (BASELINES.get(("fwd", n))
+                          if args.pyramid == "ref" else None)
+                base_fb = BASELINES.get(("fwdbwd", n))
+                extra = ""
+                if base_f:
+                    extra = (f"  [baseline fwd {base_f} ms -> "
+                             f"{base_f/t_f:.2f}x; "
+                             f"fwd+bwd {base_fb} ms -> {base_fb/t_fb:.2f}x]")
+                print(f"{impl:10s} {dt:8s} N={n:6d}: fwd {t_f:8.3f} ms, "
+                      f"fwd+bwd {t_fb:8.3f} ms, mem {mem:8.1f} MB{extra}",
+                      flush=True)
 
-    csv_f.close()
+    os.replace(partial, args.out)
     print(f"wrote {args.out}")
 
 
