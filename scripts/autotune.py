@@ -35,15 +35,70 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--stream", action="store_true",
+                    help="sweep the STREAMED kernels' constants "
+                         "(N_BLOCK_STREAM / BAND_ROWS_STREAM) at the "
+                         "large 256-base pyramid instead of the resident "
+                         "kernels' constants")
     args = ap.parse_args()
+
+    import numpy as np
 
     import msda_tpu.ops.pallas_fwd as pf
     import msda_tpu.ops.pallas_bwd as pb
     from msda_tpu.utils import reference_workload, timeit_op
 
     dtype = jnp.dtype(args.dtype)
+    big_shapes = np.array(
+        [(256, 256), (128, 128), (64, 64), (32, 32)], np.int32)
     img, shapes, pts, wts, og = reference_workload(
-        num_queries=args.queries, dtype=dtype)
+        num_queries=args.queries, dtype=dtype,
+        shapes=big_shapes if args.stream else None)
+
+    if args.stream:
+        import msda_tpu.ops.pallas_stream as ps
+
+        # route every dispatch through the streamed kernels, whatever the
+        # footprint model would decide
+        ps.RESIDENT_VMEM_BUDGET = 0
+
+        def time_stream():
+            ps.stream_fwd.clear_cache()
+            ps.stream_bwd.clear_cache()
+
+            def step(carry):
+                p, acc = carry
+                out = pf.pallas_multiscale_deformable_attention(
+                    img, shapes, p, wts, "border", True)
+                ig, pg, wg = pb.pallas_msda_bwd(
+                    img, shapes, p, wts, og, "border", True)
+                return (p + (pg * 1e-20).astype(dtype),
+                        acc + out[0, 0, 0, 0].astype(jnp.float32))
+
+            return timeit_op(step, (pts, jnp.float32(0)),
+                             n=args.iters, repeats=3) * 1e3
+
+        print(f"# stream autotune @ N={args.queries}, dtype={args.dtype}, "
+              f"pyramid 256-base, device={jax.devices()[0]}", flush=True)
+        sbest = None
+        for nbs in (256, 512, 1024):
+            for brs in (1024, 2048, 4096):
+                ps.N_BLOCK_STREAM, ps.BAND_ROWS_STREAM = nbs, brs
+                try:
+                    t = time_stream()
+                except Exception as e:
+                    print(f"stream N_BLOCK_STREAM={nbs:5d} "
+                          f"BAND_ROWS_STREAM={brs:5d}: failed "
+                          f"({type(e).__name__})", flush=True)
+                    continue
+                print(f"stream N_BLOCK_STREAM={nbs:5d} "
+                      f"BAND_ROWS_STREAM={brs:5d}: {t:9.3f} ms fwd+bwd",
+                      flush=True)
+                if sbest is None or t < sbest[0]:
+                    sbest = (t, nbs, brs)
+        print(f"best stream: N_BLOCK_STREAM={sbest[1]}, "
+              f"BAND_ROWS_STREAM={sbest[2]}  ({sbest[0]:.3f} ms)")
+        return
 
     def time_fwd():
         pf._pallas_fwd.clear_cache()
@@ -69,8 +124,8 @@ def main():
 
         return timeit_op(step, (pts, jnp.float32(0)), n=args.iters) * 1e3
 
-    print(f"# autotune @ N={N}, dtype={args.dtype}, "
-          f"device={jax.devices()[0]}")
+    print(f"# autotune @ N={args.queries}, dtype={args.dtype}, "
+          f"device={jax.devices()[0]}", flush=True)
     best = None
     for nb in (512, 1024, 2048):
         for br in (512, 1024, 2048):

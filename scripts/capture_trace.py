@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["fwd", "fwdbwd"], default="fwd")
+    ap.add_argument("--mode", choices=["fwd", "bwd", "fwdbwd"],
+                    default="fwd")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--queries", type=int, default=10000)
     ap.add_argument("--iters", type=int, default=30)
@@ -60,6 +61,21 @@ def main():
             o = msda(img, shapes, pts, wts, "border", True, impl=impl)
             return (img, pts + jnp.asarray(1e-9, dtype),
                     acc + o[0, 0, 0, 0].astype(jnp.float32) * 1e-6)
+    elif args.mode == "bwd":
+        # backward kernel ONLY (no forward in the trace): the bwd's own
+        # device timeline for the floor analysis in docs/PERF_NOTES.md
+        if impl != "pallas":
+            raise SystemExit("--mode bwd traces the Pallas backward; "
+                             "use --impl pallas on a TPU backend")
+        from msda_tpu.ops.pallas_bwd import pallas_msda_bwd
+
+        def step(carry):
+            img, pts, acc = carry
+            ig, pg, wg = pallas_msda_bwd(
+                img, shapes, pts, wts, og, "border", True)
+            eps = jnp.asarray(1e-12, dtype)
+            return (img + ig * eps, pts + pg * eps,
+                    acc + ig[0, 0, 0, 0].astype(jnp.float32) * 1e-6)
     else:
         def step(carry):
             img, pts, acc = carry
