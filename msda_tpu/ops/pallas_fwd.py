@@ -58,7 +58,9 @@ independent of the global ``jax_enable_x64`` flag.
 from __future__ import annotations
 
 import functools
+import json
 import logging
+import os
 
 import jax
 import jax.numpy as jnp
@@ -593,6 +595,7 @@ def resolve_scheme(dtype, precision) -> str:
 
 #: probe decisions per (kind, backend, geometry/config) key
 _ROUTE_CACHE: dict = {}
+_ROUTE_CACHE_LOADED = False
 
 #: resident-kernel estimates at or below this fraction of the VMEM budget
 #: skip the probe compile entirely (the footprint model has never been
@@ -618,6 +621,49 @@ def _mosaic_vmem_oom(e: Exception) -> bool:
     return "resource_exhausted" in s or "ran out of memory" in s
 
 
+def _route_cache_path() -> str:
+    root = os.environ.get("MSDA_ROUTE_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    return os.path.join(root, "msda_vmem_routes.json")
+
+
+def _load_route_cache():
+    """Merge probe decisions persisted by earlier processes.
+
+    Mosaic kernels recompile in every process (the persistent XLA cache
+    does not cover them — docs/PERF_NOTES.md), so a probe compile paid by
+    one process would otherwise be re-paid by every benchmark retry /
+    fresh subprocess at the same geometry.  The decisions are a function
+    of (geometry, shapes, scheme, toolchain); best-effort and advisory —
+    a stale entry only costs one extra probe or a conservative downshift,
+    never a wrong result.
+    """
+    global _ROUTE_CACHE_LOADED
+    if _ROUTE_CACHE_LOADED:
+        return
+    _ROUTE_CACHE_LOADED = True
+    try:
+        with open(_route_cache_path()) as f:
+            for k, v in json.load(f).items():
+                _ROUTE_CACHE.setdefault(k, bool(v))
+    except Exception:  # noqa: BLE001 — missing/corrupt cache is fine
+        pass
+
+
+def _save_route_cache():
+    try:
+        path = _route_cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({k: v for k, v in _ROUTE_CACHE.items()
+                       if isinstance(k, str)}, f, indent=0)
+        os.replace(tmp, path)
+    except Exception:  # noqa: BLE001 — persistence is best-effort
+        pass
+
+
 def _route_resident(kind, cache_key, est_bytes, budget, lower_fn):
     """One fail-soft routing decision: is this resident config compilable?
 
@@ -626,14 +672,19 @@ def _route_resident(kind, cache_key, est_bytes, budget, lower_fn):
     invoked when ``est_bytes`` is in the upper-half margin band of the
     budget (the zone where the footprint model has historically erred).
     Non-VMEM compile errors propagate — they are real bugs, not routing
-    inputs.
+    inputs.  Probe outcomes persist to disk (see ``_load_route_cache``).
     """
-    hit = _ROUTE_CACHE.get(cache_key)
+    skey = repr(cache_key)
+    hit = _ROUTE_CACHE.get(skey)
     if hit is not None:
         return hit
     if est_bytes <= budget * _PROBE_MARGIN:
-        _ROUTE_CACHE[cache_key] = True
+        _ROUTE_CACHE[skey] = True
         return True
+    _load_route_cache()
+    hit = _ROUTE_CACHE.get(skey)
+    if hit is not None:
+        return hit
     try:
         lower_fn()
         ok = True
@@ -647,7 +698,8 @@ def _route_resident(kind, cache_key, est_bytes, budget, lower_fn):
             kind, cache_key, est_bytes / 2**20, budget / 2**20,
             str(e).splitlines()[0][:200])
         ok = False
-    _ROUTE_CACHE[cache_key] = ok
+    _ROUTE_CACHE[skey] = ok
+    _save_route_cache()
     return ok
 
 

@@ -312,9 +312,13 @@ def main():
                 # while the slowest row still averages >= 25 measured
                 # steps x 4 repeats
                 mid = args.pyramid != "ref" and not slow
+                print(f"... fwd {impl} {dt} N={n} (compiling+timing)",
+                      flush=True)
                 t_f = bench_fwd(
                     impl, n, dtype,
                     iters=20 if slow else (50 if mid else 150)) * 1e3
+                print(f"... fwd done ({t_f:.3f} ms); fwd+bwd {impl} {dt} "
+                      f"N={n}", flush=True)
                 t_fb = bench_fwdbwd(
                     impl, n, dtype,
                     iters=10 if slow else (25 if mid else 100)) * 1e3

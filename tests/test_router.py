@@ -40,8 +40,14 @@ def test_mosaic_vmem_oom_matcher():
         TypeError("unsupported operand dtype int64"))
 
 
-def test_route_resident_probe_cache_and_margin(monkeypatch):
+def _isolate_route_cache(monkeypatch, tmp_path):
+    monkeypatch.setenv("MSDA_ROUTE_CACHE_DIR", str(tmp_path))
     monkeypatch.setattr(pfwd, "_ROUTE_CACHE", {})
+    monkeypatch.setattr(pfwd, "_ROUTE_CACHE_LOADED", False)
+
+
+def test_route_resident_probe_cache_and_margin(monkeypatch, tmp_path):
+    _isolate_route_cache(monkeypatch, tmp_path)
     calls = []
 
     def probe_ok():
@@ -73,6 +79,27 @@ def test_route_resident_probe_cache_and_margin(monkeypatch):
         pfwd._route_resident("fwd", ("k4",), 80.0, 100.0, probe_bug)
 
 
+def test_route_decisions_persist_across_processes(monkeypatch, tmp_path):
+    """A probe outcome written by one process must be readable by a fresh
+    cache (Mosaic recompiles per process; the decision should not)."""
+    _isolate_route_cache(monkeypatch, tmp_path)
+
+    def probe_oom():
+        raise FAKE_OOM
+
+    assert not pfwd._route_resident("fwd", ("kp",), 80.0, 100.0, probe_oom)
+
+    # simulate a fresh process: empty in-memory cache, same disk dir
+    monkeypatch.setattr(pfwd, "_ROUTE_CACHE", {})
+    monkeypatch.setattr(pfwd, "_ROUTE_CACHE_LOADED", False)
+
+    def probe_must_not_run():
+        raise AssertionError("probe re-ran despite persisted decision")
+
+    assert not pfwd._route_resident(
+        "fwd", ("kp",), 80.0, 100.0, probe_must_not_run)
+
+
 def _stub_pallas_fwd(fail_nblks):
     """Stand-in for the jitted _pallas_fwd whose AOT compile fails with a
     Mosaic VMEM OOM for the given query blocks."""
@@ -87,13 +114,13 @@ def _stub_pallas_fwd(fail_nblks):
     return types.SimpleNamespace(lower=lower)
 
 
-def test_route_fwd_nblk_downshifts_on_probe_oom(monkeypatch):
+def test_route_fwd_nblk_downshifts_on_probe_oom(monkeypatch, tmp_path):
+    _isolate_route_cache(monkeypatch, tmp_path)
     img, shapes, pts, wts, _ = get_functional_data()
     img, pts, wts = jnp.asarray(img), jnp.asarray(pts), jnp.asarray(wts)
     shapes64 = np.asarray(shapes, np.int64)
     shapes_tuple = tuple((int(h), int(w)) for h, w in shapes64)
 
-    monkeypatch.setattr(pfwd, "_ROUTE_CACHE", {})
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     # budget just above the nblk0 estimate -> every candidate that fits is
     # in the probe margin band or below; nblk0's probe OOMs, 512's passes
@@ -107,13 +134,13 @@ def test_route_fwd_nblk_downshifts_on_probe_oom(monkeypatch):
     assert got is not None and got < nblk0
 
 
-def test_route_fwd_nblk_streams_when_nothing_compiles(monkeypatch):
+def test_route_fwd_nblk_streams_when_nothing_compiles(monkeypatch, tmp_path):
+    _isolate_route_cache(monkeypatch, tmp_path)
     img, shapes, pts, wts, _ = get_functional_data()
     img, pts, wts = jnp.asarray(img), jnp.asarray(pts), jnp.asarray(wts)
     shapes64 = np.asarray(shapes, np.int64)
     shapes_tuple = tuple((int(h), int(w)) for h, w in shapes64)
 
-    monkeypatch.setattr(pfwd, "_ROUTE_CACHE", {})
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     nblk0 = pfwd._pick_nblk(pts.shape[1], shapes64, img.shape[3], "x3")
     est_min = ps._fwd_resident_bytes(
