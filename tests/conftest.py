@@ -53,6 +53,34 @@ def has_tpu() -> bool:
 
 requires_tpu = pytest.mark.skipif(not has_tpu(), reason="no TPU available")
 
+# Oracle-placement escape hatch: MSDA_ORACLE_DEVICE=cpu routes the
+# reference-interpreter oracle evaluations (impl="reference") onto the host
+# CPU backend while the Pallas kernels under test still run on the TPU.
+# Motivation: this machine's TPU tunnel has an intermittent outage family in
+# which XLA *gather* execution hangs indefinitely (observed 2026-08-20/21:
+# every jnp.take probe hung, while matmuls and Mosaic kernels ran fine).
+# The reference impl is gather-based (ops/reference.py:140-150), so with the
+# outage active every pallas-vs-reference TPU test would hang on its oracle
+# half.  The oracle's semantics are backend-independent (pure jnp, f32), so
+# CPU placement changes nothing about what is asserted — only where the
+# known-good side happens to be computed.
+_ORACLE_DEVICE = os.environ.get("MSDA_ORACLE_DEVICE", "")
+
+
+def oracle_device():
+    """Context manager placing oracle computation per MSDA_ORACLE_DEVICE.
+
+    Default (env unset): a no-op — the oracle runs wherever the test runs.
+    Uncommitted input arrays (plain numpy, or ``jnp.asarray`` results made
+    outside any placement context) follow ``jax.default_device``, so call
+    sites only need to wrap the oracle evaluation itself.
+    """
+    import contextlib
+
+    if not _ORACLE_DEVICE:
+        return contextlib.nullcontext()
+    return jax.default_device(jax.devices(_ORACLE_DEVICE)[0])
+
 
 @pytest.fixture(scope="session")
 def cpu_device():

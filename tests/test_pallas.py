@@ -22,7 +22,7 @@ import jax
 import numpy as np
 import pytest
 
-from conftest import has_tpu, requires_tpu
+from conftest import has_tpu, oracle_device, requires_tpu
 from msda_tpu.ops import multiscale_deformable_attention as msda
 from msda_tpu.ops.pallas_fwd import pallas_multiscale_deformable_attention
 from msda_tpu.ops.pallas_bwd import pallas_msda_bwd
@@ -44,8 +44,9 @@ def _reference_with_grads(img, shapes, pts, wts, og, padding_mode, align_corners
     def g(i, p, w):
         return msda(i, shapes, p, w, padding_mode, align_corners,
                     impl="reference")
-    out, vjp = jax.vjp(g, img, pts, wts)
-    return (np.asarray(out), *map(np.asarray, vjp(og)))
+    with oracle_device():
+        out, vjp = jax.vjp(g, img, pts, wts)
+        return (np.asarray(out), *map(np.asarray, vjp(og)))
 
 
 def _check(got, want, ctx):
@@ -118,9 +119,10 @@ def test_pallas_x64_flag_tpu():
     got = np.asarray(
         msda(img, shapes, pts, wts, "border", True, impl="pallas")
     )
-    want = np.asarray(
-        msda(img, shapes, pts, wts, "border", True, impl="reference")
-    )
+    with oracle_device():
+        want = np.asarray(
+            msda(img, shapes, pts, wts, "border", True, impl="reference")
+        )
     np.testing.assert_allclose(got, want, **FWD_TOL)
 
 
@@ -136,9 +138,10 @@ def test_pallas_bf16_tpu():
             "border", True, impl="pallas",
         ).astype(jnp.float32)
     )
-    want = np.asarray(
-        msda(img, shapes, pts, wts, "border", True, impl="reference")
-    )
+    with oracle_device():
+        want = np.asarray(
+            msda(img, shapes, pts, wts, "border", True, impl="reference")
+        )
     # reference half-precision tolerance (test_msda.py:15-27: fp16 1e-1)
     np.testing.assert_allclose(got, want, atol=1.5e-1, rtol=1.5e-1)
 
@@ -179,7 +182,10 @@ def test_pallas_nondivisible_queries_tpu():
             msda(img, shapes, pts, wts, "zeros", True, impl=impl)
         )
 
-    np.testing.assert_allclose(f("pallas"), f("reference"), **FWD_TOL)
+    got = f("pallas")
+    with oracle_device():
+        want = f("reference")
+    np.testing.assert_allclose(got, want, **FWD_TOL)
 
 
 def test_pallas_rejects_traced_shapes():
@@ -207,12 +213,14 @@ def test_pallas_odd_rectangular_pyramid_tpu():
     shapes = np.array([(13, 10), (7, 5), (3, 2)], np.int32)
     B, H, C, P, L, N = 2, 4, 32, 3, 3, 200
     I = int((shapes[:, 0] * shapes[:, 1]).sum())  # noqa: E741
-    img = jnp.asarray(rng.standard_normal((B, I, H, C)), jnp.float32)
-    pts = jnp.asarray(rng.random((B, N, H, L, P, 2)) * 1.4 - 0.2, jnp.float32)
+    # keep the inputs as (uncommitted) numpy so run() places them per the
+    # active default device — oracle_device() can then move the oracle half
+    img = rng.standard_normal((B, I, H, C)).astype(np.float32)
+    pts = (rng.random((B, N, H, L, P, 2)) * 1.4 - 0.2).astype(np.float32)
     logits = rng.standard_normal((B, N, H, L, P))
     e = np.exp(logits - logits.max(axis=(-1, -2), keepdims=True))
-    wts = jnp.asarray(e / e.sum(axis=(-1, -2), keepdims=True), jnp.float32)
-    og = jnp.asarray(rng.standard_normal((B, N, H, C)), jnp.float32)
+    wts = (e / e.sum(axis=(-1, -2), keepdims=True)).astype(np.float32)
+    og = rng.standard_normal((B, N, H, C)).astype(np.float32)
 
     def run(impl):
         @jax.jit
@@ -221,10 +229,13 @@ def test_pallas_odd_rectangular_pyramid_tpu():
                 return msda(ii, shapes, pp, ww, "zeros", False, impl=impl)
             out, vjp = jax.vjp(g, i, p, w)
             return (out, *vjp(o))
-        return tuple(np.asarray(t) for t in f(img, pts, wts, og))
+        return tuple(np.asarray(t) for t in f(
+            jnp.asarray(img), jnp.asarray(pts), jnp.asarray(wts),
+            jnp.asarray(og)))
 
     got = run("pallas")
-    want = run("reference")
+    with oracle_device():
+        want = run("reference")
     _check(got, want, "odd rectangular pyramid")
 
 
@@ -314,5 +325,6 @@ def test_pallas_head_dim_variants_tpu(C):
             jnp.asarray(og)))
 
     got = run("pallas")
-    want = run("reference")
+    with oracle_device():
+        want = run("reference")
     _check(got, want, f"C={C}")

@@ -22,7 +22,7 @@ import pytest
 
 import msda_tpu.ops.pallas_fwd as pfwd
 import msda_tpu.ops.pallas_stream as ps
-from conftest import requires_tpu
+from conftest import oracle_device, requires_tpu
 from utils import get_functional_data
 
 FAKE_OOM = RuntimeError(
@@ -214,6 +214,7 @@ def test_tpu_near_boundary_geometry_compiles_through_public_op():
 
     got = np.asarray(msda(img, shapes32, pts, wts, "border", True,
                           impl="pallas"))
-    want = np.asarray(msda(img, shapes32, pts, wts, "border", True,
-                           impl="reference"))
+    with oracle_device():
+        want = np.asarray(msda(img, shapes32, pts, wts, "border", True,
+                               impl="reference"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)

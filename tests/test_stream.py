@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from conftest import requires_tpu
+from conftest import oracle_device, requires_tpu
 from msda_tpu.ops import multiscale_deformable_attention as msda
 from msda_tpu.ops import pallas_stream as ps
 from utils import get_functional_data
@@ -155,7 +155,8 @@ def test_big_pyramid_streams_on_tpu():
     data = (img, shapes, pts, wts, og)
 
     got = _run("pallas", data, "border", False)
-    want = _run("reference", data, "border", False)
+    with oracle_device():
+        want = _run("reference", data, "border", False)
     names = ("out", "img_grad", "pts_grad", "wts_grad")
     tols = (1e-4, 1e-4, 2e-3, 1e-4)
     for g, w, name, tol in zip(got, want, names, tols):
@@ -195,7 +196,9 @@ def test_big_pyramid_streams_on_tpu_bf16():
               # cotangent must match the bf16 primal output dtype
               ogq.astype(jnp.bfloat16))
     got = _run("pallas", data16, "border", False)
-    want = _run("reference", (imgq, shapes, ptsq, wtsq, ogq), "border", False)
+    with oracle_device():
+        want = _run("reference", (imgq, shapes, ptsq, wtsq, ogq),
+                    "border", False)
     # identical quantized inputs: residual error is the bf16 MXU contraction
     # plus the final bf16 output cast (~2^-8 relative); grads additionally
     # see the bilinear derivative's cell-boundary discontinuity, so compare
