@@ -27,7 +27,11 @@ import threading
 import time
 
 _T0 = time.monotonic()
-_WATCHDOG_SECS = int(os.environ.get("MSDA_BENCH_WATCHDOG_SECS", "900"))
+# three metrics = 6 scan compiles through the remote compile helper at
+# 2-4 min each on a loaded service, so the wall budget must cover
+# ~15-20 min; each metric line is flushed the moment it is measured, so
+# even a harder external kill preserves what's captured
+_WATCHDOG_SECS = int(os.environ.get("MSDA_BENCH_WATCHDOG_SECS", "1500"))
 # healthy attach takes ~20-40 s on this machine; 120 s is generous while
 # keeping the worst case (2 hung probes + a full CPU fallback measurement)
 # inside a ~15 min driver budget
@@ -86,7 +90,17 @@ def _probe_attach():
     return None
 
 
+_EMITTED = 0  # metric lines already printed (see _watchdog)
+
+
 def _watchdog():
+    if _EMITTED:
+        # at least one metric line (incl. the compatibility-named first
+        # line) is already on stdout — exiting 0 preserves it as the
+        # parsed record instead of overwriting it with an error line
+        _hb(f"watchdog: wall budget spent after {_EMITTED} metric(s); "
+            "stopping early, keeping what was measured")
+        os._exit(0)
     _fail(
         "bench_watchdog_timeout",
         f"no result within ~{_WATCHDOG_SECS}s total wall time — compile "
@@ -205,6 +219,8 @@ def main():
         if _OUTAGE:
             record["error"] = _OUTAGE
         print(json.dumps(record), flush=True)
+        global _EMITTED
+        _EMITTED += 1
     _hb("timing done")
 
 
