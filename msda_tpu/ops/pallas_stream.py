@@ -67,10 +67,33 @@ __all__ = [
 
 # queries per grid step (smaller than the resident kernels': the slab is
 # the only big VMEM tenant and a narrower block keeps it modest).
+# On-chip sweep (scripts/autotune.py --stream, bf16 @10k, 256-base
+# pyramid, round 5): 512 and 1024 tie at BAND_ROWS_STREAM=4096 (166.5 vs
+# 166.2 ms kernel fwd+bwd, within repeat noise); 512 keeps the smaller
+# VMEM working set across untested geometries.
 N_BLOCK_STREAM = 512
 
-# target A-slab rows per band (yb = BAND_ROWS_STREAM // w8, >= 8 rows)
-BAND_ROWS_STREAM = 2048
+# target A-slab rows per band (yb = band_rows // w8, >= 8 rows) — chosen
+# per pyramid size by _stream_band_rows below.  The round-5 on-chip sweep
+# (scripts/autotune.py --stream, 256-base pyramid) found 4096 beats 2048
+# at every query-block width on the BIG pyramid (180.2 -> 166.5 ms at
+# width 512: taller bands amortize the per-band MXU prologue against
+# unchanged slab traffic), but a forced-stream re-measure at the SMALL
+# reference pyramid showed the opposite (fwd+bwd @10k f32 48.1 -> 76.9 ms
+# at 4096: whole levels collapse into one band, nrb=1, and the band-level
+# pipelining the kernels rely on disappears).  So: tall bands only above
+# a pixel-count threshold; both branches are measured optima, the
+# crossover between 5,440 and 87,040 px is bracketed, not measured.
+BAND_ROWS_STREAM = 4096
+BAND_ROWS_STREAM_SMALL = 2048
+#: padded pixel count at/above which the tall-band constant applies
+STREAM_TALL_BAND_MIN_IPAD = 32768
+
+
+def _stream_band_rows(shapes_tuple) -> int:
+    ipad = sum(h * _round_up(w, 8) for h, w in shapes_tuple)
+    return (BAND_ROWS_STREAM if ipad >= STREAM_TALL_BAND_MIN_IPAD
+            else BAND_ROWS_STREAM_SMALL)
 
 # resident-kernel VMEM budget before switching to the streamed path;
 # comfortably under the 100 MB vmem_limit with compiler headroom.
@@ -242,6 +265,7 @@ def stream_fwd(img, sampling_points, attention_weights,
         scheme = "highest"
 
     nblk = N_BLOCK_STREAM
+    band_rows = _stream_band_rows(shapes_tuple)
     geom = prepare_inputs(sampling_points, attention_weights)
     n_pad = _round_up(N, nblk)
     geom = _pad_queries(geom, N, n_pad)
@@ -254,7 +278,7 @@ def stream_fwd(img, sampling_points, attention_weights,
     for li, (h, w) in enumerate(shapes_tuple):
         h, w = int(h), int(w)
         w8 = _round_up(w, 8)
-        yb = max(8, BAND_ROWS_STREAM // w8)
+        yb = max(8, band_rows // w8)
         nrb = -(-h // yb)
         e_cat, ndim = _level_e_cat(parts, start, h, w, w8, nrb, yb,
                                    scheme, C)
@@ -454,6 +478,7 @@ def stream_bwd(img, sampling_points, attention_weights, out_grad,
         scheme = "highest"
 
     nblk = N_BLOCK_STREAM
+    band_rows = _stream_band_rows(shapes_tuple)
     geom = prepare_inputs(sampling_points, attention_weights)
     n_pad = _round_up(N, nblk)
     geom = _pad_queries(geom, N, n_pad)
@@ -470,7 +495,7 @@ def stream_bwd(img, sampling_points, attention_weights, out_grad,
     for li, (h, w) in enumerate(shapes_tuple):
         h, w = int(h), int(w)
         w8 = _round_up(w, 8)
-        yb = max(8, BAND_ROWS_STREAM // w8)
+        yb = max(8, band_rows // w8)
         nrb = -(-h // yb)
         e_cat, ndim = _level_e_cat(parts, start, h, w, w8, nrb, yb,
                                    scheme, C)
