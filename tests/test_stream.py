@@ -35,6 +35,21 @@ def test_streaming_dispatch_thresholds():
     assert ps.use_streaming_bwd(big, 32, "x3", 256)
 
 
+def test_stream_band_rows_adaptive():
+    """Band height routing pins the three measured optima (round-5 sweep
+    + forced-stream re-measures, docs/PERF_NOTES.md): small bands at the
+    reference and 128-base pyramids, tall bands at the 256-base pyramid."""
+    ref = tuple((int(h), int(w)) for h, w in
+                [(64, 64), (32, 32), (16, 16), (8, 8)])
+    mid = ((128, 128), (64, 64), (32, 32), (16, 16))
+    big = tuple((int(h), int(w)) for h, w in BIG_SHAPES)
+    assert ps._stream_band_rows(ref) == ps.BAND_ROWS_STREAM_SMALL
+    assert ps._stream_band_rows(mid) == ps.BAND_ROWS_STREAM_SMALL
+    assert ps._stream_band_rows(big) == ps.BAND_ROWS_STREAM
+    # non-8-multiple widths count at padded pitch
+    assert ps._stream_band_rows(((300, 109),)) == ps.BAND_ROWS_STREAM
+
+
 def test_block_width_is_vmem_gated():
     """The doubled query block must never push a resident config past the
     VMEM budget (regression: 256-base pyramid @10k queries compiled the
