@@ -6,4 +6,4 @@ use — so the version can never disagree between the wheel metadata and the
 importable package.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
